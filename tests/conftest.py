@@ -1,0 +1,41 @@
+"""Test configuration: hermetic CPU JAX with an 8-device virtual mesh.
+
+Must run before any jax import. Device-kernel tests run on CPU (Pallas via
+interpret mode); real-TPU runs happen through bench.py and the driver.
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+DATA = os.path.join(REPO, "tests", "data")
+STATS = os.path.join(REPO, "guppy5_stats")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def data_dir():
+    return DATA
+
+
+@pytest.fixture(scope="session")
+def stats_dir():
+    return STATS
+
+
+@pytest.fixture(scope="session")
+def score_matrices():
+    from npore_tpu.model.scores import (calc_score_matrices,
+                                        load_confusion_matrices)
+    subs, nps, inss, dels = load_confusion_matrices(STATS)
+    return calc_score_matrices(subs, nps, inss, dels)

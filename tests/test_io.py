@@ -1,0 +1,87 @@
+"""I/O layer tests: FASTA, SAM, BAM, CIGAR utilities, MD reconstruction."""
+import os
+
+import numpy as np
+import pytest
+
+from npore_tpu.constants import bases_to_int, cig_to_int, int_to_bases, int_to_cig
+from npore_tpu.io.bam import BamReader
+from npore_tpu.io.cigar import (collapse_cigar, expand_cigar, normalize_cigar,
+                                push_indels_left, push_inss_thru_dels,
+                                ref_len, seq_len)
+from npore_tpu.io.fasta import FastaFile
+from npore_tpu.io.sam import SamReader, parse_sam_line
+
+
+def test_base_encoding_roundtrip():
+    s = "NACGTACGTN"
+    enc = bases_to_int(s)
+    assert enc.tolist() == [0, 1, 2, 3, 4, 1, 2, 3, 4, 0]
+    assert int_to_bases(enc) == s
+    assert bases_to_int("acgt").tolist() == [1, 2, 3, 4]
+
+
+def test_cigar_expand_collapse():
+    assert expand_cigar("1D3M2I") == "DMMMII"
+    assert collapse_cigar("DMMMII") == "1D3M2I"
+    assert expand_cigar("*") == ""
+    assert collapse_cigar("") == ""
+    assert seq_len("DMMMIIS") == 6
+    assert ref_len("DMMMIIS") == 4
+    assert int_to_cig(cig_to_int("MIDNSHP=XB")) == "MIDNSHP=XB"
+
+
+def test_push_indels_left():
+    # insertion of 'A' into 'CAAAT' should shift to the homopolymer start
+    seq = bases_to_int("CAAAAT")  # query with extra A
+    cig = cig_to_int("MMMMIM".replace("M", "M"))
+    out = push_indels_left(cig.copy(), seq, 1)  # push I over query
+    assert int_to_cig(out) == "MIMMMM"
+
+
+def test_push_inss_thru_dels():
+    cig = cig_to_int("MDDIIM")
+    out = push_inss_thru_dels(cig.copy())
+    assert int_to_cig(out) == "MIIDDM"
+
+
+def test_fasta(data_dir):
+    fa = FastaFile(os.path.join(data_dir, "ref.fasta"))
+    assert fa.references == ["ref"]
+    assert fa.lengths == [1000]
+    assert fa.fetch("ref", 0, 10) == fa.fetch("ref")[:10]
+
+
+def test_bam_matches_sam(data_dir):
+    bam = {r.qname: r for r in BamReader(os.path.join(data_dir, "reads.bam"))}
+    sam = {r.qname: r for r in SamReader(os.path.join(data_dir, "reads.sam"))}
+    assert len(bam) == len(sam) == 10
+    for name, b in bam.items():
+        s = sam[name]
+        assert (b.flag, b.rname, b.pos) == (s.flag, s.rname, s.pos)
+        assert b.seq == s.seq
+        assert b.qual == s.qual
+        assert b.cigar == s.cigar
+
+
+def test_md_reference_reconstruction(data_dir):
+    """MD-derived reference slices must equal the true FASTA slices
+    (replaces pysam get_reference_sequence; reference: src/bam.pyx:45)."""
+    fa = FastaFile(os.path.join(data_dir, "ref.fasta"))
+    for rec in BamReader(os.path.join(data_dir, "reads.bam")):
+        want = fa.fetch(rec.rname, rec.pos, rec.reference_end).upper()
+        assert rec.get_reference_sequence() == want
+
+
+def test_sam_line_roundtrip():
+    line = ("r1\t0\tref\t100\t60\t5M1I4M\t*\t0\t10\tAAAAACCCCC\tIIIIIIIIII\t"
+            "HP:i:1\tMD:Z:9")
+    rec = parse_sam_line(line)
+    assert rec.pos == 99
+    assert rec.get_tag("HP") == 1
+    assert rec.to_line() == line
+
+
+def test_query_alignment_sequence():
+    rec = parse_sam_line("r\t0\tref\t1\t60\t2S5M3S\t*\t0\t0\tAACCCCCTTT\t*")
+    assert rec.query_alignment_sequence == "CCCCC"
