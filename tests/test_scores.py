@@ -8,11 +8,12 @@ def test_guppy5_scores(score_matrices):
     sub_scores, np_scores, ins_scores, del_scores = score_matrices
     assert sub_scores.shape == (5, 5) and sub_scores.dtype == np.float32
     assert np_scores.shape == (6, 101, 101) and np_scores.dtype == np.float32
-    # diagonal is free, short repeats are flat-20 (src/aln.pyx:26-29)
+    # diagonal is free; short-repeat rows start at the flat 20 and the
+    # monotone sweeps only ramp them upward (src/aln.pyx:26-38)
     for n in range(6):
         assert np.all(np_scores[n].diagonal()[1:] == 0)
-        assert np.all(np_scores[n, 0, 1:] == 20)
-        assert np.all(np_scores[n, 2, 1:] == 20)
+        assert np_scores[n, 0, 1] == 20
+        assert np.all(np_scores[n, :3, 1:] >= 20)
     assert np.all(sub_scores.diagonal() == 0)
     assert np.all(sub_scores[1:, 1:] + np.eye(4) * 100 > 0)
 
