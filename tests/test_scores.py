@@ -13,7 +13,7 @@ def test_guppy5_scores(score_matrices):
     for n in range(6):
         assert np.all(np_scores[n].diagonal()[1:] == 0)
         assert np_scores[n, 0, 1] == 20
-        offdiag = np_scores[n, :3, 1:] + 100 * np.eye(3, 101, 1)[:, 1:]
+        offdiag = np_scores[n, :3, 1:] + 100 * np.eye(3, 101)[:, 1:]
         assert np.all(offdiag >= 20)
     assert np.all(sub_scores.diagonal() == 0)
     assert np.all(sub_scores[1:, 1:] + np.eye(4) * 100 > 0)
