@@ -1,0 +1,188 @@
+"""Batched realignment orchestration.
+
+Replaces the reference's per-read multiprocessing worker model
+(reference: src/realign.py:110-114, src/bam.pyx:51-89) with a batched
+device pipeline:
+
+    reads -> windows (host) -> R-bucketed batches -> device DP (XLA/Pallas)
+          -> host traceback -> per-read CIGAR reassembly -> normalize -> SAM
+
+Every chunk of every read is an independent work item (chunks re-anchor on
+the original path), so windows from different reads mix freely in a batch.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import AlignConfig
+from ..constants import bases_to_int
+from ..io.cigar import collapse_cigar, expand_cigar, normalize_cigar
+from ..io.sam import SamRecord
+from .windows import Window, build_windows, pack_batch
+
+# R-size buckets; windows run in the smallest bucket that fits
+BUCKETS = (256, 512, 1024, 2048, 4096, 8192, 16384, 20032)
+CELL_BUDGET = 1 << 17   # B*R cells per batch keeps outputs ~40MB
+
+_cache_enabled = False
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across processes; the scan graphs are large
+    and their compile time dominates small runs otherwise."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    import os
+    import jax
+    cache_dir = os.environ.get("NPORE_JAX_CACHE",
+                               os.path.expanduser("~/.cache/npore_jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+    _cache_enabled = True
+
+
+def _bucket_for(b_rows: int) -> int:
+    for b in BUCKETS:
+        if b_rows <= b:
+            return b
+    raise ValueError(f"window of {b_rows} rows exceeds largest bucket")
+
+
+@dataclasses.dataclass
+class AlignItem:
+    """One alignment job: int-encoded ref window, query, expanded CIGAR."""
+    ref: np.ndarray
+    seq: np.ndarray
+    cigar: str
+
+
+class Realigner:
+    def __init__(self, sub_scores: np.ndarray, np_scores: np.ndarray,
+                 cfg: AlignConfig = AlignConfig(), engine: str = "xla"):
+        self.cfg = cfg
+        self.engine = engine
+        self.sub_scores = sub_scores
+        self.np_scores = np_scores
+        self.errors: List[str] = []
+        if engine in ("xla", "pallas"):
+            import jax
+            import jax.numpy as jnp
+            _enable_compilation_cache()
+            from ..ops.band_dp import Tables, build_cont_tables
+            self._cont = build_cont_tables(np_scores, cfg.max_n, cfg.max_l)
+            self._tables = Tables(sub_flat=jnp.asarray(sub_scores.reshape(-1)),
+                                  cont=jnp.asarray(self._cont.reshape(-1)))
+            self._dp_cache: Dict[int, object] = {}
+
+    # ------------------------------------------------------------------
+    def _dp(self, r_max: int):
+        fn = self._dp_cache.get(r_max)
+        if fn is None:
+            from ..ops.band_dp import make_window_dp
+            fn = make_window_dp(r_max, self.cfg, self.cfg.max_n)
+            self._dp_cache[r_max] = fn
+        return fn
+
+    def align_batch(self, items: Sequence[AlignItem]) -> List[str]:
+        """Realign a batch of alignments; returns extended CIGARs ('=XID')."""
+        if self.engine == "golden":
+            from ..golden.align import align as golden_align
+            return [golden_align(it.ref, it.seq, it.cigar, self.sub_scores,
+                                 self.np_scores, self.cfg, self.errors)
+                    for it in items]
+        return self._align_batch_device(items)
+
+    def _align_batch_device(self, items: Sequence[AlignItem]) -> List[str]:
+        import jax.numpy as jnp
+        from ..ops.traceback import traceback_window
+
+        windows: List[Window] = []
+        for i, it in enumerate(items):
+            windows.extend(build_windows(it.ref, it.seq, it.cigar,
+                                         self.cfg, aln_idx=i))
+
+        by_bucket: Dict[int, List[Window]] = {}
+        for w in windows:
+            by_bucket.setdefault(_bucket_for(w.b_rows), []).append(w)
+
+        chunk_cigars: Dict[Tuple[int, int], str] = {}
+        dummy = Window(key=(-1, -1), b_rows=1, n_ins=0, n_del=0,
+                       seq=np.zeros(1, np.int8), ref=np.zeros(1, np.int8),
+                       inss_local=np.zeros(1, np.int32),
+                       ref_guard=0, seq_guard=0)
+        for r_max, wins in sorted(by_bucket.items()):
+            bsz = max(4, CELL_BUDGET // r_max)
+            dp = self._dp(r_max)
+            for lo in range(0, len(wins), bsz):
+                group = wins[lo:lo + bsz]
+                # pad the batch to a power of two with trivial windows so the
+                # number of compiled shapes stays small
+                nb = 4
+                while nb < len(group):
+                    nb *= 2
+                pad = [dummy] * (nb - len(group))
+                batch = pack_batch(group + pad, r_max, self._cont,
+                                   self.cfg.max_n)
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                typs, runs = dp(batch, self._tables)
+                typs = np.asarray(typs)
+                runs = np.asarray(runs)
+                for j, w in enumerate(group):
+                    chunk_cigars[w.key] = traceback_window(
+                        typs[j], runs[j], w.inss_local, w.seq, w.ref,
+                        w.n_ins, w.n_del, self.cfg.r, self.errors)
+
+        out = []
+        for i in range(len(items)):
+            parts = []
+            ci = 0
+            while (i, ci) in chunk_cigars:
+                parts.append(chunk_cigars[(i, ci)])
+                ci += 1
+            out.append("".join(parts))
+        return out
+
+    # ------------------------------------------------------------------
+    def realign_records(self, reads: Iterable[SamRecord],
+                        batch_size: int = 128) -> Iterable[SamRecord]:
+        """Full read pipeline (reference: src/bam.pyx:51-89): strip clips,
+        realign, left-normalize to fixpoint, emit the new SAM record with
+        preserved identity fields and an HP tag."""
+        batch: List[SamRecord] = []
+        for read in reads:
+            batch.append(read)
+            if len(batch) >= batch_size:
+                yield from self._do_batch(batch)
+                batch = []
+        if batch:
+            yield from self._do_batch(batch)
+
+    def _do_batch(self, reads: List[SamRecord]) -> Iterable[SamRecord]:
+        items = []
+        meta = []
+        for read in reads:
+            cig = expand_cigar(read.cigar).replace("S", "").replace("H", "")
+            int_ref = bases_to_int(read.get_reference_sequence().upper())
+            int_seq = bases_to_int(read.query_alignment_sequence.upper())
+            items.append(AlignItem(int_ref, int_seq, cig))
+            meta.append((read, int_ref, int_seq))
+        new_cigars = self.align_batch(items)
+        for (read, int_ref, int_seq), new_cig in zip(meta, new_cigars):
+            norm = normalize_cigar(new_cig, int_ref, int_seq)
+            hap = int(read.get_tag("HP")) if read.has_tag("HP") else 0
+            # output line fields per reference (src/bam.pyx:83)
+            yield SamRecord(
+                qname=read.qname, flag=read.flag, rname=read.rname,
+                pos=read.pos, mapq=read.mapq, cigar=collapse_cigar(norm),
+                rnext="*", pnext=0, tlen=read.reference_end - read.pos,
+                seq=read.query_alignment_sequence.upper(),
+                qual=read.query_alignment_qualities_str,
+                tags={"HP": ("i", hap)})

@@ -1,0 +1,162 @@
+"""Confusion-matrix training: measure the basecaller SUB/INDEL/n-polymer-CNV
+error profile from a BAM (reference: src/bam.pyx:351-510).
+
+The reference shells out to `samtools mpileup` and token-parses column
+strings; here the pileup comes from io/pileup.py and the classification
+logic is identical: at each pileup column that starts an n-polymer, a
+deletion of d = k*n <= l*n units records nps[n, l, l-k]; an insertion whose
+bases equal k copies of the upcoming n-mer records nps[n, l, min(max_l,
+l+k)]; confirmations record the diagonal; non-CNV indels feed the plain
+ins/del length histograms.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from ..config import RealignConfig
+from ..constants import NBASES, BASE_TO_INT, bases_to_int
+from ..io.pileup import pileup_columns
+from ..ops.npinfo_host import get_np_info_vec
+from .regions import Region, get_ranges
+
+L, L_IDX = 0, 1
+
+
+def calc_confusion_matrices_range(bam, ref_str: str, contig: str, start: int,
+                                  end: int, max_n: int = 6, max_l: int = 100,
+                                  min_bq: int = 13
+                                  ) -> Tuple[np.ndarray, np.ndarray,
+                                             np.ndarray, np.ndarray]:
+    """Accumulate counts over [start, end) of one contig.
+
+    ref_str is the whole contig string (reference keeps cfg.args.refs[ctg];
+    src/bam.pyx:381-386).
+    """
+    subs = np.zeros((NBASES, NBASES), dtype=np.int64)
+    nps = np.zeros((max_n, max_l + 1, max_l + 1), dtype=np.int64)
+    inss = np.zeros(max_l + 1, dtype=np.int64)
+    dels = np.zeros(max_l + 1, dtype=np.int64)
+
+    np_info = get_np_info_vec(
+        bases_to_int(ref_str[start:end + 1]), max_n, max_l)
+    ref_ints = bases_to_int(ref_str[start:end])
+
+    for abs_pos, reads in pileup_columns(bam, contig, start, end, min_bq):
+        pos = abs_pos - start
+        reads = reads.upper()
+        ref_base = ref_ints[pos]
+        was_del = was_ins = True
+
+        i = 0
+        nread = len(reads)
+        while i < nread:
+            c = reads[i]
+            if c == "^":        # read start marker + mapq char
+                i += 2
+            elif c == "$" or c == "*":   # read end / deletion placeholder
+                i += 1
+            elif c in "NACGT":  # base call (substitution or match)
+                subs[ref_base, BASE_TO_INT[c]] += 1
+                i += 1
+                # record absence of indels after the previous base
+                # (src/bam.pyx:405-417)
+                if not was_ins:
+                    inss[0] += 1
+                if not was_del:
+                    dels[0] += 1
+                if not was_ins and not was_del:
+                    for n in range(1, max_n + 1):
+                        l = np_info[pos + 1, L, n - 1]
+                        lidx = np_info[pos + 1, L_IDX, n - 1]
+                        if l != 0 and lidx == 0:
+                            nps[n - 1, l, l] += 1
+                was_ins = was_del = False
+            elif c == "-":      # deletion follows (src/bam.pyx:419-449)
+                was_del = True
+                indel = 0
+                i += 1
+                while reads[i].isdigit():
+                    indel = indel * 10 + int(reads[i])
+                    i += 1
+                cnv = False
+                for n in range(1, max_n + 1):
+                    l = np_info[pos + 1, L, n - 1]
+                    lidx = np_info[pos + 1, L_IDX, n - 1]
+                    if l != 0 and lidx == 0 and indel % n == 0 \
+                            and indel <= l * n:
+                        cnv = True
+                        nps[n - 1, l, l - indel // n] += 1
+                    elif l != 0 and lidx == 0:
+                        nps[n - 1, l, l] += 1
+                if not cnv:
+                    dels[min(max_l, indel)] += 1
+                i += indel
+            elif c == "+":      # insertion follows (src/bam.pyx:451-483)
+                was_ins = True
+                indel = 0
+                i += 1
+                while reads[i].isdigit():
+                    indel = indel * 10 + int(reads[i])
+                    i += 1
+                cnv = False
+                for n in range(1, max_n + 1):
+                    l = np_info[pos + 1, L, n - 1]
+                    lidx = np_info[pos + 1, L_IDX, n - 1]
+                    if l != 0 and lidx == 0 and indel % n == 0 \
+                            and (ref_str[start + pos + 1:start + pos + n + 1]
+                                 * (indel // n) == reads[i:i + indel]):
+                        cnv = True
+                        nps[n - 1, l, min(max_l, l + indel // n)] += 1
+                    elif l != 0 and lidx == 0:
+                        nps[n - 1, l, l] += 1
+                if not cnv:
+                    inss[min(max_l, indel)] += 1
+                i += indel
+            else:
+                raise ValueError(f"unexpected pileup character {c!r} at "
+                                 f"{contig}:{abs_pos}")
+
+        # last read at this column (src/bam.pyx:490-501)
+        if not was_ins:
+            inss[0] += 1
+        if not was_del:
+            dels[0] += 1
+        if not was_ins and not was_del:
+            for n in range(1, max_n + 1):
+                l = np_info[pos + 1, L, n - 1]
+                lidx = np_info[pos + 1, L_IDX, n - 1]
+                if l != 0 and lidx == 0:
+                    nps[n - 1, l, l] += 1
+
+    return subs, nps, inss, dels
+
+
+def calc_confusion_matrices_bam(bam_path: str, ref_fa, regions: List[Region],
+                                cfg: RealignConfig
+                                ) -> Tuple[np.ndarray, np.ndarray,
+                                           np.ndarray, np.ndarray]:
+    """Sum counts over chunk_width ranges (reference: src/bam.pyx:166-203).
+    Chunks are independent; under multi-host meshes each host sums its shard
+    and the results are psum-reduced (parallel/mesh.py)."""
+    from ..io.bam import open_alignment_file
+    bam = open_alignment_file(bam_path)
+    max_n, max_l = cfg.align.max_n, cfg.align.max_l
+    acc = None
+    refs = {}
+    for contig, start, end in get_ranges(regions, cfg.chunk_width):
+        if contig not in refs:
+            refs[contig] = ref_fa.fetch(contig)
+        parts = calc_confusion_matrices_range(
+            bam, refs[contig], contig, start, end, max_n, max_l, cfg.min_bq)
+        if acc is None:
+            acc = list(parts)
+        else:
+            for a, p in zip(acc, parts):
+                a += p
+    if acc is None:
+        return (np.zeros((NBASES, NBASES), np.int64),
+                np.zeros((max_n, max_l + 1, max_l + 1), np.int64),
+                np.zeros(max_l + 1, np.int64), np.zeros(max_l + 1, np.int64))
+    return tuple(acc)
