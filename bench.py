@@ -1,0 +1,75 @@
+"""Benchmark harness: reads realigned/sec on one chip, vs CPU baseline.
+
+Measures steady-state throughput of the device engine on the checked-in
+test fixtures (tests/data/reads.sam: 10 ONT-like reads, 418-710 bp), with
+the read set replicated to fill device batches. Prints ONE JSON line.
+
+``vs_baseline`` compares against the reference's multicore Cython engine.
+The reference cannot execute here (no pysam/Cython), so the baseline is
+estimated from its DP cost model (BASELINE.md): ~67k band cells/read at
+these lengths, Cython at ~3M cell-updates/s/core on a modern core, times
+the host's cores — the same mp.Pool-over-all-cores setup as
+reference src/realign.py:110-114. Override with env NPORE_BASELINE_RPS.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+def baseline_reads_per_sec() -> float:
+    env = os.environ.get("NPORE_BASELINE_RPS")
+    if env:
+        return float(env)
+    ncores = os.cpu_count() or 8
+    cells_per_read = 1130 * 61          # (seq+ref+1) rows x 61-wide band
+    cython_cells_per_sec = 3.0e6        # per core, 5-state cell w/ np probes
+    return cython_cells_per_sec * ncores / cells_per_read
+
+
+def main() -> None:
+    from npore_tpu.engine.realigner import Realigner
+    from npore_tpu.io.bam import BamReader
+    from npore_tpu.model.scores import (calc_score_matrices,
+                                        load_confusion_matrices)
+
+    subs, nps, inss, dels = load_confusion_matrices(
+        os.path.join(REPO, "guppy5_stats"))
+    sub_scores, np_scores, _, _ = calc_score_matrices(subs, nps, inss, dels)
+
+    reads = [r for r in BamReader(os.path.join(REPO, "tests/data/reads.bam"))
+             if not (r.is_secondary or r.is_supplementary or r.is_unmapped)]
+
+    rep = int(os.environ.get("NPORE_BENCH_REPLICAS", "64"))
+    work = reads * rep                   # 640 reads ≈ 350k read-bases
+    rl = Realigner(sub_scores, np_scores, engine="xla")
+
+    # warmup: compile + one full pass
+    list(rl.realign_records(iter(reads * 4), batch_size=256))
+
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = list(rl.realign_records(iter(work), batch_size=256))
+        dt = time.perf_counter() - t0
+        assert len(out) == len(work)
+        best = max(best, len(work) / dt)
+
+    base = baseline_reads_per_sec()
+    print(json.dumps({
+        "metric": "reads_realigned_per_sec_single_chip",
+        "value": round(best, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(best / base, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -98,7 +98,7 @@ class Tables(NamedTuple):
 
 def _shift(vec, off):
     """out[j] = vec[j + off] with zero fill; off is a traced scalar."""
-    pad = jnp.zeros((8,), vec.dtype)
+    pad = np.zeros((8,), vec.dtype)
     ext = jnp.concatenate([pad, vec, pad])
     return jax.lax.dynamic_slice(ext, (8 + off,), (LW,))
 
@@ -109,7 +109,8 @@ def _rev_slice(win, d):
     return win[6 + d:70 + d][::-1]
 
 
-def make_window_dp(R_max: int, cfg: AlignConfig, max_n: int = 6):
+def make_window_dp(R_max: int, cfg: AlignConfig, max_n: int = 6,
+                   jit: bool = True):
     """Build the jitted batched DP for windows of up to R_max rows.
 
     Input arrays per window (see engine/windows.py for construction):
@@ -122,10 +123,10 @@ def make_window_dp(R_max: int, cfg: AlignConfig, max_n: int = 6):
     Output: (typ (R_max, LW) int8, run (R_max, LW) int32) MAT planes.
     """
     r = cfg.r
-    INF = jnp.float32(cfg.inf)
-    istart = jnp.float32(cfg.indel_start)
-    iext = jnp.float32(cfg.indel_extend)
-    lanes = jnp.arange(LW, dtype=I32)
+    INF = np.float32(cfg.inf)
+    istart = np.float32(cfg.indel_start)
+    iext = np.float32(cfg.indel_extend)
+    lanes = np.arange(LW, dtype=np.int32)  # numpy: avoid eager device constants
 
     def row_step(carry, t, win, tables: Tables):
         (h_matv, h_matt, h_matr,
@@ -207,9 +208,9 @@ def make_window_dp(R_max: int, cfg: AlignConfig, max_n: int = 6):
         run2 = jnp.where(arow == 1, 1, insr_top + 1)
         ins_v = jnp.where(use2, v2, v1)
         ins_r = jnp.where(use2, run2, 1)
-        ins_t = jnp.full((LW,), INS, dtype=jnp.int8)
+        ins_t = np.full((LW,), INS, dtype=np.int8)
         ins_v = jnp.where(first_row, (acol + 1).astype(F32) * INF, ins_v)
-        ins_t = jnp.where(first_row, jnp.int8(DEL), ins_t)
+        ins_t = jnp.where(first_row, np.int8(DEL), ins_t)
         ins_r = jnp.where(first_row, acol, ins_r)
 
         # --- DEL (src/aln.pyx:546-565) ---
@@ -222,25 +223,25 @@ def make_window_dp(R_max: int, cfg: AlignConfig, max_n: int = 6):
         run2 = jnp.where(acol == 1, 1, delr_left + 1)
         del_v = jnp.where(use2, v2, v1)
         del_r = jnp.where(use2, run2, 1)
-        del_t = jnp.full((LW,), DEL, dtype=jnp.int8)
+        del_t = np.full((LW,), DEL, dtype=np.int8)
         del_v = jnp.where(first_col, (arow + 1).astype(F32) * INF, del_v)
-        del_t = jnp.where(first_col, jnp.int8(INS), del_t)
+        del_t = jnp.where(first_col, np.int8(INS), del_t)
         del_r = jnp.where(first_col, arow, del_r)
 
         # --- LEN pre (gather form of src/aln.pyx:601-633) ---
         len_v = (arow + acol).astype(F32) * INF
-        len_t = jnp.full((LW,), MAT, dtype=jnp.int8)
-        len_r = jnp.zeros((LW,), I32)
-        len_av = jnp.zeros((LW,), F32)
-        len_ac = jnp.zeros((LW,), I32)
-        len_aa = jnp.zeros((LW,), I32)
+        len_t = np.full((LW,), MAT, dtype=np.int8)
+        len_r = np.zeros((LW,), np.int32)
+        len_av = np.zeros((LW,), np.float32)
+        len_ac = np.zeros((LW,), np.int32)
+        len_aa = np.zeros((LW,), np.int32)
 
         shr_v = (arow + acol).astype(F32) * INF
-        shr_t = jnp.full((LW,), MAT, dtype=jnp.int8)
-        shr_r = jnp.zeros((LW,), I32)
-        shr_av = jnp.zeros((LW,), F32)
-        shr_ac = jnp.zeros((LW,), I32)
-        shr_aa = jnp.zeros((LW,), I32)
+        shr_t = np.full((LW,), MAT, dtype=np.int8)
+        shr_r = np.zeros((LW,), np.int32)
+        shr_av = np.zeros((LW,), np.float32)
+        shr_ac = np.zeros((LW,), np.int32)
+        shr_aa = np.zeros((LW,), np.int32)
 
         for n in range(max_n, 0, -1):
             ni = n - 1
@@ -286,7 +287,7 @@ def make_window_dp(R_max: int, cfg: AlignConfig, max_n: int = 6):
             cand_c = lenav_src + cont_val
             cont_ok = (lenr_src > 0) & (lenaa_src >= 0) & (lenac_src < 2 * r)
             cand = jnp.where(start_case, cand_s,
-                             jnp.where(cont_ok, cand_c, jnp.float32(np.inf)))
+                             jnp.where(cont_ok, cand_c, np.float32(np.inf)))
             new_r = jnp.where(start_case, n, lenr_src + n)
             new_av = jnp.where(start_case, matv_src, lenav_src)
             new_ac = jnp.where(start_case, src_lane, lenac_src)
@@ -294,7 +295,7 @@ def make_window_dp(R_max: int, cfg: AlignConfig, max_n: int = 6):
 
             upd = valid & (cand < len_v)
             len_v = jnp.where(upd, cand, len_v)
-            len_t = jnp.where(upd, jnp.int8(LEN), len_t)
+            len_t = jnp.where(upd, np.int8(LEN), len_t)
             len_r = jnp.where(upd, new_r, len_r)
             len_av = jnp.where(upd, new_av, len_av)
             len_ac = jnp.where(upd, new_ac, len_ac)
@@ -327,7 +328,7 @@ def make_window_dp(R_max: int, cfg: AlignConfig, max_n: int = 6):
             cand_c2 = shrav_src + cont_val2
             cont_ok2 = (shrr_src > 0) & (shraa_src >= 0) & (shrac_src > 0)
             cand2 = jnp.where(start2, cand_s2,
-                              jnp.where(cont_ok2, cand_c2, jnp.float32(np.inf)))
+                              jnp.where(cont_ok2, cand_c2, np.float32(np.inf)))
             new_r2 = jnp.where(start2, n, shrr_src + n)
             new_av2 = jnp.where(start2, matv_src2, shrav_src)
             new_ac2 = jnp.where(start2, src_lane2, shrac_src)
@@ -335,7 +336,7 @@ def make_window_dp(R_max: int, cfg: AlignConfig, max_n: int = 6):
 
             upd2 = valid2 & (cand2 < shr_v)
             shr_v = jnp.where(upd2, cand2, shr_v)
-            shr_t = jnp.where(upd2, jnp.int8(SHR), shr_t)
+            shr_t = jnp.where(upd2, np.int8(SHR), shr_t)
             shr_r = jnp.where(upd2, new_r2, shr_r)
             shr_av = jnp.where(upd2, new_av2, shr_av)
             shr_ac = jnp.where(upd2, new_ac2, shr_ac)
@@ -350,24 +351,24 @@ def make_window_dp(R_max: int, cfg: AlignConfig, max_n: int = 6):
         can_diag = (arow > 0) & (acol > 0)
         run_diag = jnp.where(matt_diag == MAT, matr_diag + 1, 1)
         v1 = jnp.where(can_diag, matv_diag + sub, del_v + INF)
-        mat_v = jnp.where(can_diag, matv_diag + sub, jnp.float32(0))
-        mat_t = jnp.where(can_diag, jnp.int8(MAT), jnp.int8(MAT))
+        mat_v = jnp.where(can_diag, matv_diag + sub, np.float32(0))
+        mat_t = jnp.where(can_diag, np.int8(MAT), np.int8(MAT))
         mat_r = jnp.where(can_diag, run_diag, 0)
         for ti, tv, tr in ((INS, ins_v, ins_r), (LEN, len_v, len_r),
                            (DEL, del_v, del_r), (SHR, shr_v, shr_r)):
             upd = tv < v1
             v1 = jnp.where(upd, tv, v1)
             mat_v = jnp.where(upd, tv, mat_v)
-            mat_t = jnp.where(upd, jnp.int8(ti), mat_t)
+            mat_t = jnp.where(upd, np.int8(ti), mat_t)
             mat_r = jnp.where(upd, tr, mat_r)
 
         # --- post overwrites: first-row LEN / first-col SHR
         # (src/aln.pyx:596-599, 637-640; applied after the MAT reduce) ---
         len_v = jnp.where(first_row, acol.astype(F32) * INF, len_v)
-        len_t = jnp.where(first_row, jnp.int8(DEL), len_t)
+        len_t = jnp.where(first_row, np.int8(DEL), len_t)
         len_r = jnp.where(first_row, acol, len_r)
         shr_v = jnp.where(first_col, arow.astype(F32) * INF, shr_v)
-        shr_t = jnp.where(first_col, jnp.int8(INS), shr_t)
+        shr_t = jnp.where(first_col, np.int8(INS), shr_t)
         shr_r = jnp.where(first_col, arow, shr_r)
 
         # --- walls and out-of-range cells (src/aln.pyx:497-507) ---
@@ -375,10 +376,10 @@ def make_window_dp(R_max: int, cfg: AlignConfig, max_n: int = 6):
 
         def finalize(v, tt, rr):
             v = jnp.where(wall & in_range, wall_v, v)
-            tt = jnp.where(wall & in_range, jnp.int8(MAT), tt)
+            tt = jnp.where(wall & in_range, np.int8(MAT), tt)
             rr = jnp.where(wall & in_range, 0, rr)
             v = jnp.where(in_range, v, 0.0)
-            tt = jnp.where(in_range, tt, jnp.int8(MAT))
+            tt = jnp.where(in_range, tt, np.int8(MAT))
             rr = jnp.where(in_range, rr, 0)
             return v, tt, rr
 
@@ -410,18 +411,16 @@ def make_window_dp(R_max: int, cfg: AlignConfig, max_n: int = 6):
     H = max(max_n, 2)
 
     def one_window(win, tables):
-        carry = (jnp.zeros((H, LW), F32), jnp.zeros((H, LW), jnp.int8),
-                 jnp.zeros((H, LW), I32),
-                 jnp.zeros((H, LW), I32), jnp.zeros((H, LW), F32),
-                 jnp.zeros((H, LW), I32), jnp.zeros((H, LW), I32),
-                 jnp.zeros((H, LW), I32), jnp.zeros((H, LW), F32),
-                 jnp.zeros((H, LW), I32), jnp.zeros((H, LW), I32),
-                 jnp.zeros((LW,), F32), jnp.zeros((LW,), I32),
-                 jnp.zeros((LW,), F32), jnp.zeros((LW,), I32))
+        z32 = lambda *sh: np.zeros(sh, np.float32)
+        zi = lambda *sh: np.zeros(sh, np.int32)
+        carry = (z32(H, LW), np.zeros((H, LW), np.int8), zi(H, LW),
+                 zi(H, LW), z32(H, LW), zi(H, LW), zi(H, LW),
+                 zi(H, LW), z32(H, LW), zi(H, LW), zi(H, LW),
+                 z32(LW), zi(LW), z32(LW), zi(LW))
         _, (typs, runs) = jax.lax.scan(
             lambda c, t: row_step(c, t, win, tables), carry,
-            jnp.arange(R_max, dtype=I32))
+            np.arange(R_max, dtype=np.int32))
         return typs, runs
 
     batched = jax.vmap(one_window, in_axes=(0, None))
-    return jax.jit(batched)
+    return jax.jit(batched) if jit else batched

@@ -6,11 +6,18 @@ interpret mode); real-TPU runs happen through bench.py and the driver.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The container's sitecustomize force-registers the axon TPU platform and
+# overrides JAX_PLATFORMS at interpreter start; undo that here so tests are
+# hermetic-CPU (the env var alone is not enough).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
