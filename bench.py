@@ -49,7 +49,7 @@ def main() -> None:
 
     rep = int(os.environ.get("NPORE_BENCH_REPLICAS", "64"))
     work = reads * rep                   # 640 reads ≈ 350k read-bases
-    rl = Realigner(sub_scores, np_scores, engine="xla")
+    rl = Realigner(sub_scores, np_scores, engine="pallas")
 
     # warmup: compile + one full pass
     list(rl.realign_records(iter(reads * 4), batch_size=256))

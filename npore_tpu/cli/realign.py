@@ -43,8 +43,8 @@ def argparser() -> argparse.ArgumentParser:
     p.add_argument("--plot", action="store_true")
     p.add_argument("--recalc_cms", action="store_true")
     p.add_argument("--recalc_exit", action="store_true")
-    p.add_argument("--engine", default="xla",
-                   choices=["xla", "pallas", "golden"],
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "xla", "pallas", "golden"],
                    help="DP engine (new; no reference equivalent).")
     p.add_argument("--batch_reads", type=int, default=128)
     return p

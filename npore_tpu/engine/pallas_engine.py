@@ -1,0 +1,220 @@
+"""Host orchestration for the Pallas DP engine.
+
+Packs windows into the lane-bound layout of ops/pallas_dp.py, runs the DP
+and traceback kernels, decodes emission slots into extended CIGARs, and
+redoes bailed alignments (k-continuation overflow or traceback error) with
+the exact golden engine.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import AlignConfig
+from ..ops.npinfo_host import get_np_info_vec
+from ..ops.pallas_dp import (BLK, LANES, PAD0, RQ, TBLK, W,
+                             build_cont_lanes, get_dp_call, get_tb_call)
+from .windows import Window, build_windows
+
+G_CALL = 2                      # programs per device call (G_CALL*W windows)
+_OPCH = np.frombuffer(b"=XID", dtype=np.uint8)
+
+
+def _r_pad_for(b_rows: int, max_b_rows: int) -> int:
+    need = max(b_rows, 1)
+    return min(((need + RQ - 1) // RQ) * RQ,
+               ((max_b_rows + 2 + RQ - 1) // RQ) * RQ)
+
+
+class PallasEngine:
+    def __init__(self, sub_scores: np.ndarray, np_scores: np.ndarray,
+                 cfg: AlignConfig = AlignConfig(), k_cont: int = 8,
+                 interpret: Optional[bool] = None):
+        import jax
+        self.cfg = cfg
+        self.k_cont = k_cont
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        self.interpret = interpret
+        self.sub_scores = sub_scores.astype(np.float32)
+        self.np_scores = np_scores
+        self.cont = build_cont_lanes(np_scores, cfg.max_n, cfg.max_l, k_cont)
+        sub_pad = np.zeros((1, 32), np.float32)
+        sub_pad[0, :25] = self.sub_scores.reshape(-1)
+        self._sub = sub_pad
+        self.bail_count = 0
+
+    # ------------------------------------------------------------------
+    def align_batch(self, items) -> List[str]:
+        """items: sequence with .ref/.seq int arrays and .cigar (expanded).
+        Returns extended CIGARs over '=XID'."""
+        cfg = self.cfg
+        windows: List[Window] = []
+        for i, it in enumerate(items):
+            windows.extend(build_windows(it.ref, it.seq, it.cigar, cfg,
+                                         aln_idx=i))
+        chunk_cigars: Dict[Tuple[int, int], str] = {}
+        bailed_alns = set()
+
+        # bucket by padded row count
+        by_r: Dict[int, List[Window]] = {}
+        for w in windows:
+            by_r.setdefault(_r_pad_for(w.b_rows + 1, cfg.max_b_rows),
+                            []).append(w)
+
+        for r_pad, wins in sorted(by_r.items()):
+            wins.sort(key=lambda w: w.b_rows)
+            bw = G_CALL * W
+            for lo in range(0, len(wins), bw):
+                group = wins[lo:lo + bw]
+                out = self._run_group(group, r_pad)
+                for w, (cig, bail) in zip(group, out):
+                    if bail:
+                        bailed_alns.add(w.key[0])
+                    chunk_cigars[w.key] = cig
+
+        # golden fallback for bailed alignments (rare: k overflow etc.)
+        for i in sorted(bailed_alns):
+            self.bail_count += 1
+            from ..golden.align import align as golden_align
+            it = items[i]
+            full = golden_align(it.ref, it.seq, it.cigar, self.sub_scores,
+                                self.np_scores, cfg)
+            # re-split into this alignment's chunk windows
+            ws = build_windows(it.ref, it.seq, it.cigar, cfg, aln_idx=i)
+            # golden returns the whole alignment; chunk boundaries are
+            # deterministic, so just overwrite the concatenation
+            for w in ws:
+                chunk_cigars.pop(w.key, None)
+            chunk_cigars[(i, 0)] = full
+
+        out = []
+        for i in range(len(items)):
+            parts = []
+            ci = 0
+            while (i, ci) in chunk_cigars:
+                parts.append(chunk_cigars[(i, ci)])
+                ci += 1
+            out.append("".join(parts))
+        return out
+
+    # ------------------------------------------------------------------
+    def _run_group(self, group: Sequence[Window], r_pad: int):
+        import jax
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        max_n = cfg.max_n
+        r = cfg.r
+        B = G_CALL * W
+        G = G_CALL
+        NL = 1 + 2 * max_n
+        P2 = r_pad + 512
+        PADL = 128            # leading pad (multiple of 128 keeps lane binding)
+        A_OFF = r_pad + 128   # reversed seq side: position a at col A_OFF - a
+        nblk = r_pad // BLK
+        ntb = r_pad // TBLK
+        NT = r_pad // LANES
+
+        linr = np.zeros((B, NL, P2), np.int8)
+        lins = np.zeros((B, NL, P2), np.int8)
+        linr[:, 1 + max_n:, :] = 1          # lidx==0 in padding
+        lins[:, 1 + max_n:, :] = 1
+        steps = np.zeros((G, nblk, W, 128), np.int8)
+        scal = np.zeros((G, W, 8), np.int32)
+        p0c = np.zeros((G, W, nblk), np.int32)
+        p0r = np.zeros((G, W, nblk), np.int32)
+        s0c = np.full((G, W, nblk), 0, np.int32)
+        s0r = np.zeros((G, W, nblk), np.int32)
+        p1c = np.zeros((G, W, ntb), np.int32)
+        p1r = np.zeros((G, W, ntb), np.int32)
+        s1c = np.full((G, W, ntb), 0, np.int32)
+        s1r = np.zeros((G, W, ntb), np.int32)
+        maxb = np.zeros((G, 1), np.int32)
+
+        max_rows = 1
+        for j, w in enumerate(group):
+            g, wl = divmod(j, W)
+            P = len(w.ref)
+            S = len(w.seq)
+            max_rows = max(max_rows, w.b_rows)
+            npi_r = get_np_info_vec(w.ref.astype(np.uint8), max_n)
+            npi_s = get_np_info_vec(w.seq.astype(np.uint8), max_n)
+            linr[j, 0, PADL:PADL + P] = w.ref
+            linr[j, 1:1 + max_n, PADL:PADL + P] = np.minimum(
+                npi_r[:, 0, :], 127).T
+            linr[j, 1 + max_n:, PADL:PADL + P] = (npi_r[:, 1, :] == 0).T
+            lins[j, 0, A_OFF - S + 1:A_OFF + 1] = w.seq[::-1]
+            lins[j, 1:1 + max_n, A_OFF - S + 1:A_OFF + 1] = np.minimum(
+                npi_s[:, 0, :], 127).T[:, ::-1]
+            lins[j, 1 + max_n:, A_OFF - S + 1:A_OFF + 1] = (
+                npi_s[:, 1, :] == 0).T[:, ::-1]
+
+            R_w = w.b_rows
+            inss = w.inss_local.astype(np.int64)
+            dels = np.arange(R_w) - inss
+            sd = np.zeros(r_pad + 128, np.int8)
+            sd[1:R_w] = np.diff(dels)
+            for b in range(nblk):
+                steps[g, b, wl, :] = sd[b * BLK:b * BLK + 128]
+            scal[g, wl] = (R_w, w.n_ins, w.n_del, w.ref_guard, w.seq_guard,
+                           0, 0, 0)
+
+            last = R_w - 1
+            for b in range(nblk):
+                T0 = min(b * BLK, last)
+                idx = int(dels[T0]) - r - 7 + PADL
+                p0c[g, wl, b] = idx // LANES
+                p0r[g, wl, b] = idx % LANES
+                a_hi = int(inss[T0]) - r - 7 + 127
+                sidx = A_OFF - a_hi
+                s0c[g, wl, b] = sidx // LANES
+                s0r[g, wl, b] = sidx % LANES
+            for b in range(ntb):
+                T0 = min(b * TBLK, last)
+                T1 = min(b * TBLK + TBLK - 1, last)
+                idx = int(dels[T0]) - r - 1 + PADL
+                p1c[g, wl, b] = idx // LANES
+                p1r[g, wl, b] = idx % LANES
+                a1_hi = int(inss[T1]) + r + 2
+                sidx = A_OFF - a1_hi
+                s1c[g, wl, b] = sidx // LANES
+                s1r[g, wl, b] = sidx % LANES
+        maxb[:, 0] = ((max_rows + RQ - 1) // RQ) * RQ - 1
+        maxb[:, 0] = np.minimum(maxb[:, 0], r_pad - 1)
+
+        dp = get_dp_call(r_pad, G, r, cfg.indel_start, cfg.indel_extend,
+                         cfg.inf, max_n, self.k_cont, self.interpret)
+        tb = get_tb_call(r_pad, G, self.interpret)
+
+        to_i32 = lambda a: jnp.asarray(a).astype(jnp.int32)
+        linr_d = to_i32(linr.reshape(B, NL, P2 // 128, 128))
+        lins_d = to_i32(lins.reshape(B, NL, P2 // 128, 128))
+        steps_d = to_i32(steps)
+        dp_bail, packed = dp(
+            jnp.asarray(p0c), jnp.asarray(p0r), jnp.asarray(s0c),
+            jnp.asarray(s0r), jnp.asarray(maxb), jnp.asarray(self._sub),
+            jnp.asarray(scal), jnp.asarray(self.cont), steps_d,
+            linr_d, lins_d)
+        tb_bail, slots = tb(
+            jnp.asarray(p1c), jnp.asarray(p1r), jnp.asarray(s1c),
+            jnp.asarray(s1r), jnp.asarray(maxb), jnp.asarray(scal),
+            linr_d, lins_d, packed)
+
+        dp_bail = np.asarray(dp_bail)[:, :, 0]
+        tb_bail = np.asarray(tb_bail)[:, :, 0]
+        slots = np.asarray(slots)          # (G, NT, W, 128)
+
+        out = []
+        for j, w in enumerate(group):
+            g, wl = divmod(j, W)
+            vec = slots[g, :, wl, :].reshape(-1)[:r_pad]
+            nz = np.flatnonzero(vec)
+            ops = vec[nz] & 3
+            counts = vec[nz] >> 2
+            cig = np.repeat(_OPCH[ops], counts).tobytes().decode("ascii")
+            bail = bool(dp_bail[g, wl] or tb_bail[g, wl])
+            out.append((cig, bail))
+        return out

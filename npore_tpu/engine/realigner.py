@@ -66,13 +66,20 @@ class AlignItem:
 
 class Realigner:
     def __init__(self, sub_scores: np.ndarray, np_scores: np.ndarray,
-                 cfg: AlignConfig = AlignConfig(), engine: str = "xla"):
+                 cfg: AlignConfig = AlignConfig(), engine: str = "auto"):
         self.cfg = cfg
+        if engine == "auto":
+            engine = "pallas"
         self.engine = engine
         self.sub_scores = sub_scores
         self.np_scores = np_scores
         self.errors: List[str] = []
-        if engine in ("xla", "pallas"):
+        self._pallas = None
+        if engine == "pallas":
+            _enable_compilation_cache()
+            from .pallas_engine import PallasEngine
+            self._pallas = PallasEngine(sub_scores, np_scores, cfg)
+        elif engine == "xla":
             import jax
             import jax.numpy as jnp
             _enable_compilation_cache()
@@ -98,6 +105,8 @@ class Realigner:
             return [golden_align(it.ref, it.seq, it.cigar, self.sub_scores,
                                  self.np_scores, self.cfg, self.errors)
                     for it in items]
+        if self.engine == "pallas":
+            return self._pallas.align_batch(items)
         return self._align_batch_device(items)
 
     def _align_batch_device(self, items: Sequence[AlignItem]) -> List[str]:

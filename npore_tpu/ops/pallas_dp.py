@@ -1,0 +1,684 @@
+"""Fused Pallas TPU engine: banded n-polymer DP + on-device traceback.
+
+Replaces the XLA-scan engine (ops/band_dp.py) with a Mosaic kernel pair
+designed around measured axon-v5e characteristics: vector ops ~1.3ns per
+(32,128) tile, static lane rolls ~free, lane-gathers / dynamic rolls
+~0.4us, no sublane gathers beyond (8,128), no scalar indexed VMEM loads,
+no in-kernel transposes, and host<->device transfers with ~25ms latency.
+
+Reference semantics: src/aln.pyx:379-787 via the bit-exact re-derivation in
+ops/band_dp.py (golden-parity tested). Reformulations:
+
+* Lane binding ``lane = acol mod 128`` turns every DP dependency into a
+  static lane roll: INS (arow-1,acol) same lane @t-1; DEL (arow,acol-1)
+  roll 1 @t-1; MAT diag roll 1 @t-2; LEN (arow-n,acol) same lane @t-n;
+  SHR (arow,acol-n) roll n @t-n. History planes ride the fori_loop carry.
+* W=32 windows per grid program stacked on sublanes; rows advance in a
+  fori_loop with a ~40-plane carry; per-window scalars (dels[t]) are
+  carried and advanced from a steps tile via lane-onehot reduction.
+* Ref-bound tables (bases, L, L_IDX==0 bits, np-score start/continuation
+  values for k in [1, k_cont+1]) are DMA'd per 48-row block from linear
+  HBM tables and aligned to the lane binding with one dynamic roll per
+  window per block; continuation scores are selected by k with unrolled
+  lane-wise selects. Runs needing k > k_cont+1 set a per-window bail flag
+  and the host redoes those alignments with the golden engine (band
+  geometry bounds k by floor((2r+1)/n)+2; real data rarely exceeds 4).
+* Traceback is a backward lockstep sweep over the packed (typ | run<<3)
+  MAT planes, emitting (op | count<<2) slots into 128-row lane tiles; the
+  host decodes slots ascending-row = forward CIGAR. Only ~4B/row/window
+  crosses the tunnel.
+
+R_pad must be a multiple of 384 (= lcm(BLK=48, slot tile 128)).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+from ..config import AlignConfig
+
+MAT, INS, LEN, DEL, SHR = 0, 1, 2, 3, 4
+LANES = 128
+BLK = 48          # DP rows per block (coverage span 47+2r+14 <= 127)
+TBLK = 64         # traceback rows per block (2 blocks per 128-row tile)
+PAD0 = 48         # leading pad columns of linear tables
+W = 32            # windows per grid program
+RQ = 384          # R_pad quantum
+
+OP_EQ, OP_X, OP_I, OP_D = 0, 1, 2, 3
+
+
+def build_cont_lanes(np_scores: np.ndarray, max_n: int = 6, max_l: int = 100,
+                     k_cont: int = 8) -> np.ndarray:
+    """cont[side, ni, kk, l] = np_score(n, l, +/-(kk+1)), lane dim = l.
+    kk=0 is the run-start score (k=1). Exact np_score semantics incl. the
+    max_l-as-max_n clamp (reference: src/aln.pyx:255-274).
+
+    Two extra slots follow the k planes:
+      kk = k_cont+1 (SAT): the saturated score -- exact for every
+        k >= 99-l on the insertion side (call length clamps at max_l-1)
+        and for k > l on the deletion side (invalid -> 100).
+      kk = k_cont+2 (LB): min over the uncovered gap
+        k in [k_cont+2, saturation); used to prune can't-win candidates
+        exactly (if anchor+LB >= current best, skipping is bit-exact).
+    """
+    out = np.full((2, max_n, k_cont + 3, LANES), 100.0, dtype=np.float32)
+    ls = np.arange(LANES)
+    for n in range(1, max_n + 1):
+        tab = np_scores[n - 1]
+        ref_c = np.minimum(ls, max_l - 1)
+        for kk in range(k_cont + 1):
+            k = kk + 1
+            call_c = np.minimum(ls + k, max_l - 1)
+            ins = tab[ref_c, call_c].astype(np.float32)
+            out[0, n - 1, kk] = np.where((ls <= 0) | (ls > 100),
+                                         np.float32(100), ins)
+            call_d = ls - k
+            ok = (ls > 0) & (ls <= 100) & (call_d >= 0)
+            dele = tab[ref_c, np.clip(call_d, 0, max_l - 1)].astype(np.float32)
+            out[1, n - 1, kk] = np.where(ok, dele, np.float32(100))
+        # SAT
+        ins_sat = tab[ref_c, max_l - 1].astype(np.float32)
+        out[0, n - 1, k_cont + 1] = np.where((ls <= 0) | (ls > 100),
+                                             np.float32(100), ins_sat)
+        out[1, n - 1, k_cont + 1] = np.float32(100)
+        # LB over the gap
+        for l in range(1, 101):
+            gi = [tab[min(l, max_l - 1), min(l + k, max_l - 1)]
+                  for k in range(k_cont + 2, max(k_cont + 2, 99 - l))]
+            out[0, n - 1, k_cont + 2, l] = (np.float32(min(gi))
+                                            if gi else np.float32(100))
+            gd = [tab[min(l, max_l - 1), l - k]
+                  for k in range(k_cont + 2, min(l, 127) + 1)]
+            out[1, n - 1, k_cont + 2, l] = (np.float32(min(gd))
+                                            if gd else np.float32(100))
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
+                indel_extend: float, inf: float, max_n: int, k_cont: int,
+                interpret: bool):
+    """Build the jittable DP pallas_call for (R_pad, G)-shaped batches."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert R_pad % RQ == 0
+    INF = np.float32(inf)
+    istart = np.float32(indel_start)
+    iext = np.float32(indel_extend)
+    nblk = R_pad // BLK
+    NL = 1 + 2 * max_n
+    KK = k_cont + 1
+    KS = k_cont + 3   # planes per (side, n): K selects + SAT + LB
+    F32, I32 = jnp.float32, jnp.int32
+    big = np.float32(np.inf)
+
+    def roll(v, s):
+        s = s % LANES
+        return v if s == 0 else pltpu.roll(v, shift=s, axis=1)
+
+    def dp_kernel(p0c, p0r, s0c, s0r, maxb_s, sub_s,
+                  scal_v, cont_v, steps, linr, lins,
+                  bail_o, packed_o,
+                  lin2_b, seq2_b, lin_b, seq_b, ct, steps_b, packed_b, zbuf,
+                  sems):
+        g = pl.program_id(0)
+        lane = jax.lax.broadcasted_iota(I32, (W, LANES), 1)
+        b_rows = scal_v[:, 0:1]
+        n_ins = scal_v[:, 1:2]
+        n_del = scal_v[:, 2:3]
+        ref_guard = scal_v[:, 3:4]
+        seq_guard = scal_v[:, 4:5]
+        maxb = maxb_s[g, 0]
+
+        lane1 = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
+
+        def load_block(b):
+            # Aligned 2-tile DMAs + lane select: the 128-wide window at
+            # arbitrary offset p0 in "lane = index mod 128" binding is
+            # P[j] = tiles[0][j] if j >= p0%128 else tiles[1][j].
+            dmas = []
+            for w in range(W):
+                d1 = pltpu.make_async_copy(
+                    linr.at[g * W + w, :, pl.ds(p0c[w, b], 2), :],
+                    lin2_b.at[w], sems.at[0])
+                d2 = pltpu.make_async_copy(
+                    lins.at[g * W + w, :, pl.ds(s0c[w, b], 2), :],
+                    seq2_b.at[w], sems.at[1])
+                d1.start()
+                d2.start()
+                dmas.append((d1, d2))
+            d3 = pltpu.make_async_copy(steps.at[g, b], steps_b, sems.at[2])
+            d3.start()
+            for d1, d2 in dmas:
+                d1.wait()
+                d2.wait()
+            d3.wait()
+            for w in range(W):
+                lin_b[w] = jnp.where(lane1 >= p0r[w, b],
+                                     lin2_b[w, :, 0, :], lin2_b[w, :, 1, :])
+                seq_b[w] = jnp.where(lane1 >= s0r[w, b],
+                                     seq2_b[w, :, 0, :], seq2_b[w, :, 1, :])
+            # seq planes: re-bind from (-a mod 128) to (T0 - a mod 128)
+            seq_b[:] = pltpu.roll(seq_b[:], shift=(b * BLK) % LANES, axis=2)
+            for ni in range(max_n):
+                lref = jnp.clip(lin_b[:, 1 + ni, :], 0, LANES - 1)
+                for side in range(2):
+                    for kk in range(KS):
+                        tab = jnp.broadcast_to(
+                            cont_v[side, ni, kk][None, :], (W, LANES))
+                        ct[:, (side * max_n + ni) * KS + kk, :] = (
+                            jnp.take_along_axis(tab, lref, axis=1))
+
+        def qs(side, ni):
+            return (side * max_n + ni) * KS
+
+        def row_step(t, i, carry):
+            (mv, mt, mr, lr, lav, lac, laa, sr, sav, sac, saa,
+             p_insv, p_insr, p_delv, p_delr, dels_now, dh, bail) = carry
+
+            step = jnp.sum(jnp.where(lane == i, steps_b[:, :], 0),
+                           axis=1, keepdims=True)
+            dels_now = dels_now + step
+
+            acol_base = dels_now - 64
+            acol = acol_base + ((lane - acol_base) % LANES)
+            arow = t - acol
+            bcol = acol - dels_now + r
+            in_range = ((arow >= 0) & (acol >= 0) & (arow <= n_ins)
+                        & (acol <= n_del) & (t <= b_rows - 1))
+            wall = (bcol == 0) | (bcol == 2 * r)
+            first_row = arow == 0
+            first_col = acol == 0
+            ref_zero = acol >= ref_guard
+
+            def SEQ(d):
+                return roll(seq_b[:, 0, :], d - 1)
+
+            def REF(d):
+                return roll(lin_b[:, 0, :], 1 - d)
+
+            def LREF(dd, ni):
+                return roll(lin_b[:, 1 + ni, :], -dd)
+
+            def LZREF(dd, ni):
+                return roll(lin_b[:, 1 + max_n + ni, :], -dd)
+
+            def LSEQ(dd, ni):
+                return roll(seq_b[:, 1 + ni, :], dd)
+
+            def LZSEQ(dd, ni):
+                return roll(seq_b[:, 1 + max_n + ni, :], dd)
+
+            zi = lane * 0                      # lane-anchored {0,0} zeros
+            zf = zi.astype(F32)
+            bigf = zf + big
+
+            # --- INS (src/aln.pyx:524-543) ---
+            v1 = mv[0] + istart
+            v2 = p_insv + iext
+            use2 = v2 < v1
+            run2 = jnp.where(arow == 1, 1, p_insr + 1)
+            ins_v = jnp.where(use2, v2, v1)
+            ins_r = jnp.where(use2, run2, 1)
+            ins_v = jnp.where(first_row, (acol + 1).astype(F32) * INF, ins_v)
+            ins_r = jnp.where(first_row, acol, ins_r)
+
+            # --- DEL (src/aln.pyx:546-565) ---
+            v1 = roll(mv[0], 1) + istart
+            v2 = roll(p_delv, 1) + iext
+            use2 = v2 < v1
+            run2 = jnp.where(acol == 1, 1, roll(p_delr, 1) + 1)
+            del_v = jnp.where(use2, v2, v1)
+            del_r = jnp.where(use2, run2, 1)
+            del_v = jnp.where(first_col, (arow + 1).astype(F32) * INF, del_v)
+            del_r = jnp.where(first_col, arow, del_r)
+
+            # --- LEN / SHR (gather form of src/aln.pyx:601-667) ---
+            len_v = (arow + acol).astype(F32) * INF
+            len_r, len_av, len_ac, len_aa = zi, zf, zi, zi
+            shr_v = (arow + acol).astype(F32) * INF
+            shr_r, shr_av, shr_ac, shr_aa = zi, zf, zi, zi
+            len_is, shr_is = zi == 1, zi == 1   # whether LEN/SHR state set
+
+            for n in range(max_n, 0, -1):
+                ni = n - 1
+                dels_n = dh[n - 1]
+                # ---- LEN source (arow-n, acol): same lane, row t-n ----
+                matv_src = mv[n - 1]
+                lenr_src = lr[n - 1]
+                lenav_src = lav[n - 1]
+                lenac_src = lac[n - 1]
+                lenaa_src = laa[n - 1]
+                src_bcol = acol - dels_n + r
+                src_ok = ((arow - n >= 0) & (src_bcol >= 1)
+                          & (src_bcol <= 2 * r - 1) & (t >= n))
+
+                l_n = jnp.where(ref_zero, 0, LREF(0, ni))
+                lz_n = jnp.where(ref_zero, 1, LZREF(0, ni))
+                sg = arow - n >= seq_guard
+                lseq_src = jnp.where(sg, 0, LSEQ(-n, ni))
+                lzseq_src = jnp.where(sg, 1, LZSEQ(-n, ni))
+
+                lenA = jnp.clip(n_ins + 1 - (arow - n), 0, n)
+                lenB = jnp.clip(n_del + 1 - acol, 0, n)
+                mok = lenA == lenB
+                for k in range(n):
+                    mok = mok & ((k >= lenA) | (SEQ(1 - n + k) == REF(1 + k)))
+
+                valid = (src_ok & (l_n > 0) & (lseq_src > 0) & (lz_n == 1)
+                         & mok & (bcol > 0))
+
+                start_case = lzseq_src == 1
+                cand_s = matv_src + ct[:, qs(0, ni), :]
+                k_c = lenr_src // n + 1
+                cont_val = bigf
+                for kk in range(2, KK + 1):
+                    cont_val = jnp.where(k_c == kk,
+                                         ct[:, qs(0, ni) + kk - 1, :],
+                                         cont_val)
+                cont_ok = ((lenr_src > 0) & (lenaa_src >= 0)
+                           & (lenac_src < 2 * r))
+                sat = ct[:, qs(0, ni) + KK, :]
+                lbv = ct[:, qs(0, ni) + KK + 1, :]
+                is_sat = k_c >= 99 - l_n
+                gap = (k_c > KK) & ~is_sat
+                cont_val = jnp.where(k_c > KK,
+                                     jnp.where(is_sat, sat, bigf), cont_val)
+                cand = jnp.where(start_case, cand_s,
+                                 jnp.where(cont_ok, cont_val + lenav_src, bigf))
+                ovf = ((~start_case) & cont_ok & valid & in_range & gap
+                       & (lenav_src + lbv < len_v))
+                bail = bail | jnp.max(ovf.astype(I32), axis=1, keepdims=True)
+                new_r = jnp.where(start_case, n, lenr_src + n)
+                new_av = jnp.where(start_case, matv_src, lenav_src)
+                new_ac = jnp.where(start_case, src_bcol, lenac_src)
+                new_aa = jnp.where(start_case, arow - n, lenaa_src)
+
+                upd = valid & (cand < len_v)
+                len_v = jnp.where(upd, cand, len_v)
+                len_r = jnp.where(upd, new_r, len_r)
+                len_av = jnp.where(upd, new_av, len_av)
+                len_ac = jnp.where(upd, new_ac, len_ac)
+                len_aa = jnp.where(upd, new_aa, len_aa)
+                len_is = len_is | upd
+
+                # ---- SHR source (arow, acol-n): lane j-n, row t-n ----
+                matv_src2 = roll(mv[n - 1], n)
+                shrr_src = roll(sr[n - 1], n)
+                shrav_src = roll(sav[n - 1], n)
+                shrac_src = roll(sac[n - 1], n)
+                shraa_src = roll(saa[n - 1], n)
+                src_bcol2 = (acol - n) - dels_n + r
+                src_ok2 = ((acol - n >= 0) & (src_bcol2 >= 1)
+                           & (src_bcol2 <= 2 * r - 1) & (t >= n))
+                rz2 = (acol - n) >= ref_guard
+                l_n2 = jnp.where(rz2, 0, LREF(-n, ni))
+                lz_n2 = jnp.where(rz2, 1, LZREF(-n, ni))
+                valid2 = src_ok2 & (l_n2 > 0) & (bcol < 2 * r)
+
+                start2 = lz_n2 == 1
+                cand_s2 = matv_src2 + roll(ct[:, qs(1, ni), :], n)
+                k_c2 = shrr_src // n + 1
+                cont_val2 = bigf
+                for kk in range(2, KK + 1):
+                    cont_val2 = jnp.where(
+                        k_c2 == kk, roll(ct[:, qs(1, ni) + kk - 1, :], n),
+                        cont_val2)
+                cont_ok2 = ((shrr_src > 0) & (shraa_src >= 0)
+                            & (shrac_src > 0))
+                sat2 = roll(ct[:, qs(1, ni) + KK, :], n)
+                lbv2 = roll(ct[:, qs(1, ni) + KK + 1, :], n)
+                is_sat2 = k_c2 > l_n2
+                gap2 = (k_c2 > KK) & ~is_sat2
+                cont_val2 = jnp.where(k_c2 > KK,
+                                      jnp.where(is_sat2, sat2, bigf),
+                                      cont_val2)
+                cand2 = jnp.where(start2, cand_s2,
+                                  jnp.where(cont_ok2, cont_val2 + shrav_src,
+                                            bigf))
+                ovf2 = ((~start2) & cont_ok2 & valid2 & in_range & gap2
+                        & (shrav_src + lbv2 < shr_v))
+                bail = bail | jnp.max(ovf2.astype(I32), axis=1, keepdims=True)
+                new_r2 = jnp.where(start2, n, shrr_src + n)
+                new_av2 = jnp.where(start2, matv_src2, shrav_src)
+                new_ac2 = jnp.where(start2, src_bcol2, shrac_src)
+                new_aa2 = jnp.where(start2, acol - n, shraa_src)
+
+                upd2 = valid2 & (cand2 < shr_v)
+                shr_v = jnp.where(upd2, cand2, shr_v)
+                shr_r = jnp.where(upd2, new_r2, shr_r)
+                shr_av = jnp.where(upd2, new_av2, shr_av)
+                shr_ac = jnp.where(upd2, new_ac2, shr_ac)
+                shr_aa = jnp.where(upd2, new_aa2, shr_aa)
+                shr_is = shr_is | upd2
+
+            # --- MAT (src/aln.pyx:568-592) ---
+            matv_diag = roll(mv[1], 1)
+            matt_diag = roll(mt[1], 1)
+            matr_diag = roll(mr[1], 1)
+            sv = SEQ(0)
+            rv = REF(0)
+            sub = zf
+            for a in range(5):
+                for b2 in range(5):
+                    sub = jnp.where((sv == a) & (rv == b2),
+                                    sub_s[0, a * 5 + b2], sub)
+            can_diag = (arow > 0) & (acol > 0)
+            run_diag = jnp.where(matt_diag == MAT, matr_diag + 1, 1)
+            v1 = jnp.where(can_diag, matv_diag + sub, del_v + INF)
+            mat_v = jnp.where(can_diag, matv_diag + sub, 0.0)
+            mat_t = zi + MAT
+            mat_r = jnp.where(can_diag, run_diag, 0)
+            for ti, tv, tr in ((INS, ins_v, ins_r), (LEN, len_v, len_r),
+                               (DEL, del_v, del_r), (SHR, shr_v, shr_r)):
+                updm = tv < v1
+                v1 = jnp.where(updm, tv, v1)
+                mat_v = jnp.where(updm, tv, mat_v)
+                mat_t = jnp.where(updm, ti, mat_t)
+                mat_r = jnp.where(updm, tr, mat_r)
+
+            # --- post overwrites: first-row LEN / first-col SHR
+            #     (src/aln.pyx:596-599, 637-640; applied AFTER the reduce) ---
+            len_v = jnp.where(first_row, acol.astype(F32) * INF, len_v)
+            len_r = jnp.where(first_row, acol, len_r)
+            shr_v = jnp.where(first_col, arow.astype(F32) * INF, shr_v)
+            shr_r = jnp.where(first_col, arow, shr_r)
+
+            # --- walls + out-of-range (src/aln.pyx:497-507) ---
+            wall_v = jnp.float32(t + 1) * INF
+
+            def fin_v(v):
+                return jnp.where(in_range, jnp.where(wall, wall_v, v), 0.0)
+
+            def fin_r(rr):
+                return jnp.where(in_range & ~wall, rr, 0)
+
+            mat_v = fin_v(mat_v)
+            mat_t = jnp.where(in_range & ~wall, mat_t, MAT)
+            mat_r = fin_r(mat_r)
+            ins_v = fin_v(ins_v)
+            ins_r = fin_r(ins_r)
+            del_v = fin_v(del_v)
+            del_r = fin_r(del_r)
+            len_v = fin_v(len_v)
+            len_r = fin_r(len_r)
+            shr_v = fin_v(shr_v)
+            shr_r = fin_r(shr_r)
+            dead = ~(in_range & ~wall)
+            len_av = jnp.where(dead, 0.0, len_av)
+            len_ac = jnp.where(dead, 0, len_ac)
+            len_aa = jnp.where(dead, 0, len_aa)
+            shr_av = jnp.where(dead, 0.0, shr_av)
+            shr_ac = jnp.where(dead, 0, shr_ac)
+            shr_aa = jnp.where(dead, 0, shr_aa)
+
+            packed_b[pl.ds(i, 1)] = (mat_t + (mat_r << 3))[None]
+
+            for q in range(NL):
+                seq_b[:, q, :] = roll(seq_b[:, q, :], 1)
+
+            return ((mat_v,) + mv[:max_n - 1],
+                    (mat_t, mt[0]), (mat_r, mr[0]),
+                    (len_r,) + lr[:max_n - 1], (len_av,) + lav[:max_n - 1],
+                    (len_ac,) + lac[:max_n - 1], (len_aa,) + laa[:max_n - 1],
+                    (shr_r,) + sr[:max_n - 1], (shr_av,) + sav[:max_n - 1],
+                    (shr_ac,) + sac[:max_n - 1], (shr_aa,) + saa[:max_n - 1],
+                    ins_v, ins_r, del_v, del_r,
+                    dels_now, (dels_now,) + dh[:max_n - 1], bail)
+
+        def blk_body(b, carry):
+            T0 = b * BLK
+            load_block(b)
+
+            def inner(i, c):
+                return row_step(T0 + i, i, c)
+            carry = jax.lax.fori_loop(0, BLK, inner, carry)
+
+            cp = pltpu.make_async_copy(
+                packed_b, packed_o.at[g, pl.ds(T0, BLK)], sems.at[3])
+            cp.start()
+            cp.wait()
+            return carry
+
+        # carry zeros must come from memory loads: constant (or folded)
+        # inits get a fully-replicated Mosaic layout that cannot be joined
+        # with the loop body's standard tiles ("Invalid relayout").
+        zbuf[:] = jnp.zeros((W, LANES), I32)
+        zi0 = zbuf[:]
+        zf0 = zi0.astype(F32)
+        zc0 = zbuf[:, 0:1]
+        htup = lambda dt, k: tuple((zf0 if dt is F32 else zi0)
+                                   for _ in range(k))
+        init = (htup(F32, max_n), htup(I32, 2), htup(I32, 2),
+                htup(I32, max_n), htup(F32, max_n), htup(I32, max_n),
+                htup(I32, max_n),
+                htup(I32, max_n), htup(F32, max_n), htup(I32, max_n),
+                htup(I32, max_n),
+                zf0, zi0, zf0, zi0,
+                zc0,
+                tuple(zc0 for _ in range(max_n)),
+                zc0)
+        nblk_eff = maxb // BLK + 1
+        final = jax.lax.fori_loop(0, nblk_eff, blk_body, init)
+        bail_o[:, :] = jnp.broadcast_to(final[17], (W, 8))
+
+    call = pl.pallas_call(
+        dp_kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((None, W, nblk), lambda gg: (gg, 0, 0),
+                         memory_space=pltpu.SMEM),   # p0c
+            pl.BlockSpec((None, W, nblk), lambda gg: (gg, 0, 0),
+                         memory_space=pltpu.SMEM),   # p0r
+            pl.BlockSpec((None, W, nblk), lambda gg: (gg, 0, 0),
+                         memory_space=pltpu.SMEM),   # s0c
+            pl.BlockSpec((None, W, nblk), lambda gg: (gg, 0, 0),
+                         memory_space=pltpu.SMEM),   # s0r
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # maxb (G, 1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # sub (1, 32)
+            pl.BlockSpec((None, W, 8), lambda gg: (gg, 0, 0),
+                         memory_space=pltpu.VMEM),   # scal
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cont
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # steps
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # linr
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # lins
+        ],
+        out_specs=[
+            pl.BlockSpec((None, W, 8), lambda gg: (gg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_shape=[
+            __import__("jax").ShapeDtypeStruct((G, W, 8), np.int32),
+            __import__("jax").ShapeDtypeStruct((G, R_pad, W, LANES),
+                                               np.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, NL, 2, LANES), np.int32),   # lin2_b
+            pltpu.VMEM((W, NL, 2, LANES), np.int32),   # seq2_b
+            pltpu.VMEM((W, NL, LANES), np.int32),
+            pltpu.VMEM((W, NL, LANES), np.int32),
+            pltpu.VMEM((W, 2 * max_n * KS, LANES), np.float32),
+            pltpu.VMEM((W, LANES), np.int32),
+            pltpu.VMEM((BLK, W, LANES), np.int32),
+            pltpu.VMEM((W, LANES), np.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+    )
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def get_tb_call(R_pad: int, G: int, interpret: bool):
+    """Backward traceback over the packed MAT planes -> (op|count<<2) slots."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert R_pad % RQ == 0
+    ntb = R_pad // TBLK
+    NT = R_pad // LANES
+    I32 = jnp.int32
+
+    def tb_kernel(p1c, p1r, s1c, s1r, maxb_s,
+                  scal_v, linr, lins, packed,
+                  bail_o, slots_o,
+                  ref2_b, seq2_b, ref_b, seq_b, pk_b, sl_b, zbuf, sems):
+        g = pl.program_id(0)
+        lane = jax.lax.broadcasted_iota(I32, (W, LANES), 1)
+        n_ins = scal_v[:, 1:2]
+        n_del = scal_v[:, 2:3]
+        maxb = maxb_s[g, 0]
+        zbuf[:] = jnp.zeros((W, LANES), I32)
+        sl_b[:] = zbuf[:]
+
+        lane1 = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
+
+        def load_block(b):
+            d0 = pltpu.make_async_copy(
+                packed.at[g, pl.ds(b * TBLK, TBLK)], pk_b, sems.at[0])
+            d0.start()
+            dmas = []
+            for w in range(W):
+                d1 = pltpu.make_async_copy(
+                    linr.at[g * W + w, 0:1, pl.ds(p1c[w, b], 2), :],
+                    ref2_b.at[w], sems.at[1])
+                d2 = pltpu.make_async_copy(
+                    lins.at[g * W + w, 0:1, pl.ds(s1c[w, b], 2), :],
+                    seq2_b.at[w], sems.at[2])
+                d1.start()
+                d2.start()
+                dmas.append((d1, d2))
+            d0.wait()
+            for d1, d2 in dmas:
+                d1.wait()
+                d2.wait()
+            for w in range(W):
+                ref_b[w] = jnp.where(lane1 >= p1r[w, b],
+                                     ref2_b[w, :, 0, :], ref2_b[w, :, 1, :])
+                seq_b[w] = jnp.where(lane1 >= s1r[w, b],
+                                     seq2_b[w, :, 0, :], seq2_b[w, :, 1, :])
+            seq_b[:] = pltpu.roll(seq_b[:],
+                                  shift=(b * TBLK + TBLK - 1) % LANES, axis=2)
+
+        def row_step(t, carry):
+            arow, acol, pend, done, bail = carry      # done/bail: i32 0/1
+            active = (done == 0) & (arow + acol == t)
+
+            oh = lane == (acol % LANES)
+            pk_row = pk_b[pl.ds(t % TBLK, 1)][0]
+            pv = jnp.sum(jnp.where(oh, pk_row, 0), axis=1, keepdims=True)
+            typ = pv & 7
+            run = pv >> 3
+
+            fresh = active & (pend == 0)
+            bad = fresh & (run < 1)
+            is_i = fresh & ((typ == INS) | (typ == LEN)) & ~bad
+            is_d = fresh & ((typ == DEL) | (typ == SHR)) & ~bad
+            is_m = fresh & (typ == MAT) & ~bad
+            pend = jnp.where(is_m, run, pend)
+            in_m = active & (pend > 0)
+
+            ohs = lane == ((acol + 1) % LANES)
+            sv = jnp.sum(jnp.where(ohs, seq_b[:, 0, :], 0), axis=1,
+                         keepdims=True)
+            ohr = lane == ((acol - 1) % LANES)
+            rv = jnp.sum(jnp.where(ohr, ref_b[:, 0, :], 0), axis=1,
+                         keepdims=True)
+            cmp_op = jnp.where(sv == rv, OP_EQ, OP_X)
+
+            slot = jnp.where(in_m, cmp_op + (1 << 2), 0)
+            slot = jnp.where(is_i, OP_I + (run << 2), slot)
+            slot = jnp.where(is_d, OP_D + (run << 2), slot)
+
+            arow = jnp.where(in_m, arow - 1,
+                             jnp.where(is_i, arow - run, arow))
+            acol = jnp.where(in_m, acol - 1,
+                             jnp.where(is_d, acol - run, acol))
+            pend = jnp.where(in_m, pend - 1, pend)
+            bail = jnp.where(bad | (active & ((arow < 0) | (acol < 0))),
+                             1, bail)
+            done = jnp.where(((arow <= 0) & (acol <= 0)) | (bail > 0),
+                             1, done)
+
+            sl_b[:] = sl_b[:] | jnp.where((lane == (t % LANES)) & (slot != 0),
+                                          slot, 0)
+
+            seq_b[:, 0, :] = pltpu.roll(seq_b[:, 0, :], shift=LANES - 1,
+                                        axis=1)
+            return (arow, acol, pend, done, bail)
+
+        def blk_body(bb, carry):
+            ntb_eff = maxb // TBLK + 1
+            b = ntb_eff - 1 - bb
+            T0 = b * TBLK
+            load_block(b)
+
+            def inner(j, c):
+                return row_step(T0 + TBLK - 1 - j, c)
+            carry = jax.lax.fori_loop(0, TBLK, inner, carry)
+
+            @pl.when(b % 2 == 0)
+            def _():
+                cp = pltpu.make_async_copy(
+                    sl_b, slots_o.at[g, T0 // LANES], sems.at[3])
+                cp.start()
+                cp.wait()
+                sl_b[:] = zbuf[:]
+            return carry
+
+        zc0 = zbuf[:, 0:1]
+        init = (n_ins, n_del, zc0, zc0, zc0)
+        final = jax.lax.fori_loop(0, maxb // TBLK + 1, blk_body, init)
+        bail_o[:, :] = jnp.broadcast_to(
+            final[4] | (1 - final[3]), (W, 8))
+
+    call = pl.pallas_call(
+        tb_kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((None, W, ntb), lambda gg: (gg, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, W, ntb), lambda gg: (gg, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, W, ntb), lambda gg: (gg, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, W, ntb), lambda gg: (gg, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, W, 8), lambda gg: (gg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, W, 8), lambda gg: (gg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            __import__("jax").ShapeDtypeStruct((G, W, 8), np.int32),
+            __import__("jax").ShapeDtypeStruct((G, NT, W, LANES), np.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((W, 1, 2, LANES), np.int32),
+            pltpu.VMEM((W, 1, 2, LANES), np.int32),
+            pltpu.VMEM((W, 1, LANES), np.int32),
+            pltpu.VMEM((W, 1, LANES), np.int32),
+            pltpu.VMEM((TBLK, W, LANES), np.int32),
+            pltpu.VMEM((W, LANES), np.int32),
+            pltpu.VMEM((W, LANES), np.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+    )
+    return call

@@ -1,0 +1,92 @@
+"""Pallas engine parity vs the golden model (interpret mode on CPU).
+
+The DP + traceback kernel pair (ops/pallas_dp.py) must reproduce the golden
+align() bit-for-bit; bailed alignments fall back to golden and so are
+exact by construction -- these tests also assert bails stay rare.
+"""
+import numpy as np
+import pytest
+
+from npore_tpu.config import AlignConfig
+from npore_tpu.constants import bases_to_int
+from npore_tpu.engine.pallas_engine import PallasEngine
+from npore_tpu.engine.realigner import AlignItem
+from npore_tpu.golden.align import align as golden_align
+from npore_tpu.io.cigar import expand_cigar
+
+TOYS = [
+    ("CAAAGAAAGAAAG", "CAAAGAAAGAAG", "9=1D3="),
+    ("CAAAGAAAGAAAG", "CAAAGAAAAGAAAG", "5=1I8="),
+    ("CAAAGAAAGAAAG", "CAAAGAAAAG", "5=4D1I4="),
+    ("CAAAGAAAGAAAG", "CAAGAAAG", "1=5D7="),
+    ("CGAAAGAAAGAAAG", "CGAAGAAAG", "2=5D7="),
+    ("CGAAAGAAAGAAAC", "CGAAGAAAC", "2=5D7="),
+    ("CAAAAAAAAAG", "CAAAAAG", "1=4D6="),
+    ("CAAAAAG", "CAAAAAAAAAAG", "1=5I6="),
+    ("TATATATATATACG", "TATATATACG", "4D10="),
+    ("TATATACG", "TATATATATATACG", "6I8="),
+    ("ACGACGACGACGT", "ACGACGACGACGACGACGT", "6I13="),
+]
+
+
+@pytest.fixture(scope="module")
+def engine(score_matrices):
+    sub_scores, np_scores, _, _ = score_matrices
+    return PallasEngine(sub_scores, np_scores, AlignConfig(), interpret=True)
+
+
+def _check(engine, score_matrices, cases):
+    sub_scores, np_scores, _, _ = score_matrices
+    items = [AlignItem(bases_to_int(r), bases_to_int(s), expand_cigar(c))
+             for r, s, c in cases]
+    got = engine.align_batch(items)
+    for it, g in zip(items, got):
+        want = golden_align(it.ref, it.seq, it.cigar, sub_scores, np_scores,
+                            engine.cfg)
+        assert g == want
+
+
+def test_pallas_toys(engine, score_matrices):
+    _check(engine, score_matrices, TOYS)
+
+
+def test_pallas_random(engine, score_matrices):
+    rng = np.random.default_rng(7)
+    cases = []
+    for _ in range(6):
+        n = int(rng.integers(100, 350))
+        ref = "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+        seq, cig = [], []
+        for ch in ref:
+            u = rng.random()
+            if u < 0.04:
+                cig.append("D")
+                continue
+            if u < 0.09:
+                seq.append("ACGT"[rng.integers(0, 4)])
+                cig.append("I")
+            if u < 0.12:
+                seq.append("ACGT"[rng.integers(0, 4)])
+                cig.append("=")
+            else:
+                seq.append(ch)
+                cig.append("=")
+        cases.append((ref, "".join(seq), "".join(cig)))
+    sub_scores, np_scores, _, _ = score_matrices
+    items = [AlignItem(bases_to_int(r), bases_to_int(s), c)
+             for r, s, c in cases]
+    got = engine.align_batch(items)
+    for it, g in zip(items, got):
+        want = golden_align(it.ref, it.seq, it.cigar, sub_scores, np_scores,
+                            engine.cfg)
+        assert g == want
+    assert engine.bail_count <= 1
+
+
+def test_pallas_repeat_rich(engine, score_matrices):
+    cases = [
+        ("CAAAAAAAAAG", "CAAAAAG", "1=4D6="),
+        ("ACGTACGTACGTACGTAAA", "ACGTACGTACGTAAA", "4D15="),
+        ("AAGGAAGGAAGGAAGGTT", "AAGGAAGGTT", "8D10="),
+    ]
+    _check(engine, score_matrices, cases)
