@@ -57,7 +57,7 @@ def main() -> None:
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        out = list(rl.realign_records(iter(work), batch_size=256))
+        out = list(rl.realign_records(iter(work), batch_size=1024))
         dt = time.perf_counter() - t0
         assert len(out) == len(work)
         best = max(best, len(work) / dt)

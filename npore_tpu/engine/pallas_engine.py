@@ -13,12 +13,12 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..config import AlignConfig
-from ..ops.npinfo_host import get_np_info_vec
+from ..native import np_info as get_np_info_vec
 from ..ops.pallas_dp import (BLK, LANES, PAD0, RQ, TBLK, W,
                              build_cont_lanes, get_dp_call, get_tb_call)
 from .windows import Window, build_windows
 
-G_CALL = 2                      # programs per device call (G_CALL*W windows)
+G_CALL = 4                      # programs per device call (G_CALL*W windows)
 _OPCH = np.frombuffer(b"=XID", dtype=np.uint8)
 
 
@@ -64,16 +64,22 @@ class PallasEngine:
             by_r.setdefault(_r_pad_for(w.b_rows + 1, cfg.max_b_rows),
                             []).append(w)
 
+        # submit every group first (device executes asynchronously, so
+        # packing of group i+1 overlaps compute/transfers of group i),
+        # then collect + decode in order
+        pending = []
         for r_pad, wins in sorted(by_r.items()):
             wins.sort(key=lambda w: w.b_rows)
             bw = G_CALL * W
             for lo in range(0, len(wins), bw):
                 group = wins[lo:lo + bw]
-                out = self._run_group(group, r_pad)
-                for w, (cig, bail) in zip(group, out):
-                    if bail:
-                        bailed_alns.add(w.key[0])
-                    chunk_cigars[w.key] = cig
+                pending.append((group, self._submit_group(group, r_pad)))
+        for group, handles in pending:
+            out = self._collect_group(group, handles)
+            for w, (cig, bail) in zip(group, out):
+                if bail:
+                    bailed_alns.add(w.key[0])
+                chunk_cigars[w.key] = cig
 
         # golden fallback for bailed alignments (rare: k overflow etc.)
         for i in sorted(bailed_alns):
@@ -101,7 +107,7 @@ class PallasEngine:
         return out
 
     # ------------------------------------------------------------------
-    def _run_group(self, group: Sequence[Window], r_pad: int):
+    def _submit_group(self, group: Sequence[Window], r_pad: int):
         import jax
         import jax.numpy as jnp
 
@@ -203,9 +209,14 @@ class PallasEngine:
             jnp.asarray(s1r), jnp.asarray(maxb), jnp.asarray(scal),
             linr_d, lins_d, packed)
 
-        dp_bail = np.asarray(dp_bail)[:, :, 0]
-        tb_bail = np.asarray(tb_bail)[:, :, 0]
-        slots = np.asarray(slots)          # (G, NT, W, 128)
+        return (dp_bail, tb_bail, slots, r_pad)
+
+    def _collect_group(self, group: Sequence[Window], handles):
+        import jax
+        dp_bail, tb_bail, slots, r_pad = handles
+        dp_bail, tb_bail, slots = jax.device_get((dp_bail, tb_bail, slots))
+        dp_bail = dp_bail[:, :, 0]
+        tb_bail = tb_bail[:, :, 0]
 
         out = []
         for j, w in enumerate(group):
