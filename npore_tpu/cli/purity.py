@@ -1,0 +1,158 @@
+"""Pileup Gini-purity CLI (reference: src/purity.py).
+
+Measures per-column pileup concordance for up to 4 BAMs: the base score is
+sum((count/depth)^2) over 'ACGT*' and the insertion score is the analogous
+sum over distinct insertion strings plus the no-insertion mass
+(reference: src/purity.py:62-72). The reference shells out to
+``samtools mpileup | cut -f5`` and fans columns over mp.Pool
+(src/purity.py:182-191); here columns come from the in-process pileup
+engine (io/pileup.py) and scores are computed in one pass. Scores are
+cached per BAM as .npy and re-plotted with --plot_only like the reference.
+
+Usage: python -m npore_tpu.cli.purity --bams a.bam,b.bam --ref ref.fasta \
+           --out_prefix out [--contig ctg] [...]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from collections import defaultdict
+from time import perf_counter
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..io.bam import open_alignment_file
+from ..io.pileup import pileup_columns
+
+
+def argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("--bams", required=True,
+                   help="Comma-separated BAM/SAM files (up to 4).")
+    p.add_argument("--names", type=str, default=None,
+                   help="Comma-separated display names for the BAMs.")
+    p.add_argument("--ref", type=str, default=None,
+                   help="Reference FASTA (optional; columns use read bases).")
+    p.add_argument("--contig", type=str)
+    p.add_argument("--contig_beg", type=int)
+    p.add_argument("--contig_end", type=int)
+    p.add_argument("--min_bq", type=int, default=13,
+                   help="Minimum base quality (samtools mpileup default).")
+    p.add_argument("--out_prefix", required=True)
+    p.add_argument("--plot", action="store_true",
+                   help="Also write purity histogram plots.")
+    p.add_argument("--plot_only", action="store_true",
+                   help="Re-plot from cached .npy scores without reading "
+                        "the BAMs (reference: src/purity.py:196-207).")
+    return p
+
+
+def compute_purity(column: str) -> Optional[Tuple[float, float]]:
+    """Gini purity of one mpileup column string
+    (reference: src/purity.py:11-84)."""
+    bases = defaultdict(int)
+    inss = defaultdict(int)
+    i = 0
+    n_chars = len(column)
+    while i < n_chars:
+        c = column[i]
+        if c == "^":
+            i += 2
+        elif c == "$":
+            i += 1
+        elif c in "ACGT*":
+            bases[c] += 1
+            i += 1
+        elif c in "+-":
+            j = i + 1
+            skip = 0
+            while j < n_chars and column[j].isdigit():
+                skip = skip * 10 + int(column[j])
+                j += 1
+            if c == "+":
+                inss[column[j:j + skip]] += 1
+            i = j + skip
+        else:
+            i += 1      # N / mismatch-case chars: ignore
+    n = sum(bases.values())
+    if not n:
+        return None
+    base_score = sum((bases[b] / n) ** 2 for b in "ACGT*")
+    not_inss = n - sum(inss.values())
+    ins_score = (not_inss / n) ** 2 + sum((v / n) ** 2
+                                          for v in inss.values())
+    return base_score, ins_score
+
+
+def bam_purity(bam_path: str, contig: Optional[str], beg: Optional[int],
+               end: Optional[int], min_bq: int) -> np.ndarray:
+    bam = open_alignment_file(bam_path)
+    scores: List[Tuple[float, float]] = []
+    contigs = [contig] if contig else bam.references
+    lengths = dict(zip(bam.references, bam.lengths))
+    for ctg in contigs:
+        b = beg if beg is not None else 0
+        e = end if end is not None else lengths.get(ctg, 1 << 40)
+        for pos, col in pileup_columns(bam, ctg, b, e, min_bq=min_bq):
+            s = compute_purity(col)
+            if s is not None:
+                scores.append(s)
+    return np.asarray(scores, dtype=np.float64).reshape(-1, 2)
+
+
+def plot_purity(all_scores, names, out_prefix) -> None:
+    """Histogram plots (reference: src/purity.py:88-152)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axs = plt.subplots(1, 2, figsize=(14, 5))
+    bins = np.linspace(0, 1, 101)
+    for scores, name in zip(all_scores, names):
+        if not len(scores):
+            continue
+        axs[0].hist(scores[:, 0], bins=bins, histtype="step", label=name)
+        axs[1].hist(scores[:, 1], bins=bins, histtype="step", label=name)
+    axs[0].set_xlabel("base purity")
+    axs[1].set_xlabel("insertion purity")
+    for ax in axs:
+        ax.set_yscale("log")
+        ax.legend()
+    fig.tight_layout()
+    fig.savefig(f"{out_prefix}_purity.png", dpi=120)
+    plt.close(fig)
+
+
+def main(argv=None) -> int:
+    args = argparser().parse_args(argv)
+    bams = args.bams.split(",")
+    names = (args.names.split(",") if args.names
+             else [os.path.basename(b) for b in bams])
+
+    all_scores = []
+    for bam_path, name in zip(bams, names):
+        cache = f"{args.out_prefix}_{name}.npy"
+        if args.plot_only and os.path.exists(cache):
+            scores = np.load(cache)
+        else:
+            t0 = perf_counter()
+            scores = bam_purity(bam_path, args.contig, args.contig_beg,
+                                args.contig_end, args.min_bq)
+            np.save(cache, scores)
+            print(f"    {name}: {len(scores)} columns, mean base purity "
+                  f"{scores[:, 0].mean():.4f}, mean ins purity "
+                  f"{scores[:, 1].mean():.4f}; "
+                  f"runtime {perf_counter()-t0:.2f}s")
+        all_scores.append(scores)
+
+    if args.plot or args.plot_only:
+        plot_purity(all_scores, names, args.out_prefix)
+        print(f"    wrote {args.out_prefix}_purity.png")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,140 @@
+"""VCF standardization CLI (reference: src/standardize_vcf.py).
+
+Normalizes a (phased, diploid) truth VCF by splitting it into haploid
+variant sets, synthesizing each haplotype's whole-contig sequence,
+re-aligning those sequences with the same batched TPU kernel the read
+realigner uses (the reference fans out over mp.Pool(10);
+src/standardize_vcf.py:30-31), and converting the realigned CIGARs back
+into a merged diploid VCF.
+
+Usage: python -m npore_tpu.cli.standardize_vcf --vcf in.vcf --ref ref.fasta \
+           --out_prefix out [--stats_dir ./stats] [...]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from time import perf_counter
+
+import numpy as np
+
+from ..config import AlignConfig
+from ..constants import bases_to_int
+from ..engine.realigner import AlignItem, Realigner
+from ..io.cigar import normalize_cigar
+from ..io.fasta import FastaFile
+from ..io.vcf import VcfReader, apply_vcf, gen_vcf, merge_vcfs, split_vcf
+from ..model.scores import calc_score_matrices, load_confusion_matrices
+
+
+def argparser() -> argparse.ArgumentParser:
+    """Flags mirror the reference (src/standardize_vcf.py:46-84)."""
+    p = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("--vcf", required=True, help="Input VCF to standardize.")
+    p.add_argument("--ref", required=True,
+                   help="Input reference FASTA corresponding to VCF.")
+    p.add_argument("--out_prefix", required=True, help="Output VCF prefix.")
+    p.add_argument("--contig", type=str)
+    p.add_argument("--contig_beg", type=int)
+    p.add_argument("--contig_end", type=int)
+    p.add_argument("--contigs", type=str)
+    p.add_argument("--stats_dir", default="./stats")
+    p.add_argument("--max_n", type=int, default=6)
+    p.add_argument("--max_l", type=int, default=100)
+    p.add_argument("--chunk_width", type=int, default=100000)
+    p.add_argument("--min_qual", type=int, default=0)
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "xla", "pallas", "golden"])
+    return p
+
+
+def get_vcf_regions(args, ref: FastaFile, vcf: VcfReader):
+    """Region resolution (reference: src/util.py:97-154)."""
+    if args.contig:
+        if args.contigs:
+            sys.exit("ERROR: can't set 'contig' and 'contigs'.")
+        beg = args.contig_beg or 0
+        end = args.contig_end or ref.get_reference_length(args.contig) - 1
+        return [(args.contig, beg, end)]
+    if args.contigs:
+        if args.contig_beg or args.contig_end:
+            sys.exit("ERROR: can't set start/endpoints with multiple contigs.")
+        return [(c, 0, ref.get_reference_length(c) - 1)
+                for c in args.contigs.split(",")]
+    if args.contig_beg or args.contig_end:
+        sys.exit("ERROR: 'contig' not supplied, but start/endpoints set.")
+    regions = []
+    contigs = vcf.contigs or sorted({r.contig for r in vcf})
+    for ctg in contigs:
+        if ctg not in ref:
+            print(f"WARNING: contig '{ctg}' present in '{args.vcf}', but "
+                  f"not '{args.ref}', skipping...")
+            continue
+        l = ref.get_reference_length(ctg)
+        if any(True for _ in vcf.fetch(ctg, 0, l - 1)):
+            regions.append((ctg, 0, l - 1))
+    return regions
+
+
+def realign_haps(hap_data, realigner: Realigner):
+    """Batched replacement of the reference's per-hap worker
+    (reference: src/bam.pyx:93-123): align -> left-normalize to fixpoint
+    -> 'ID' -> 'M'."""
+    items = []
+    for contig, hap, seq, ref, cigar in hap_data:
+        items.append(AlignItem(bases_to_int(ref), bases_to_int(seq), cigar))
+    new_cigars = realigner.align_batch(items)
+    out = []
+    for (contig, hap, seq, ref, _), it, cig in zip(hap_data, items,
+                                                   new_cigars):
+        norm = normalize_cigar(cig, it.ref, it.seq)
+        out.append((contig, hap, seq, ref, norm))
+    return out
+
+
+def main(argv=None) -> int:
+    args = argparser().parse_args(argv)
+    cfg = AlignConfig(max_n=args.max_n, max_l=args.max_l)
+
+    print("> selecting vcf regions")
+    ref_fa = FastaFile(args.ref)
+    vcf = VcfReader(args.vcf)
+    regions = get_vcf_regions(args, ref_fa, vcf)
+
+    print("> calculating score matrices")
+    subs, nps, inss, dels = load_confusion_matrices(args.stats_dir)
+    sub_scores, np_scores, _, _ = calc_score_matrices(
+        subs, nps, inss, dels, cfg.max_n, cfg.max_l)
+
+    print("> splitting vcf")
+    vcf1, vcf2 = split_vcf(args.vcf, regions, args.out_prefix + "pre")
+
+    print("> converting vcfs and ref to sequences")
+    get_ref = lambda ctg: ref_fa.fetch(ctg).upper()
+    hap1_data = apply_vcf(vcf1, 1, regions, get_ref, args.min_qual)
+    hap2_data = apply_vcf(vcf2, 2, regions, get_ref, args.min_qual)
+
+    print("> realigning hap sequences")
+    start = perf_counter()
+    realigner = Realigner(sub_scores, np_scores, cfg, engine=args.engine)
+    data = realign_haps(hap1_data + hap2_data, realigner)
+    hap1_data = [x for x in data if x[1] == 1]
+    hap2_data = [x for x in data if x[1] == 2]
+    print(f"    {len(data)} sequences realigned; "
+          f"runtime: {perf_counter()-start:.2f}s")
+
+    print("> generating standardized vcfs")
+    vcf1 = gen_vcf(hap1_data, 1, args.out_prefix)
+    vcf2 = gen_vcf(hap2_data, 2, args.out_prefix)
+
+    print("> merging vcfs")
+    out_fn = f"{args.out_prefix}.vcf"
+    merge_vcfs(vcf1, vcf2, out_fn, regions)
+    print(f"    wrote {out_fn}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

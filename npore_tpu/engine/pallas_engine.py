@@ -23,9 +23,12 @@ _OPCH = np.frombuffer(b"=XID", dtype=np.uint8)
 
 
 def _r_pad_for(b_rows: int, max_b_rows: int) -> int:
-    need = max(b_rows, 1)
-    return min(((need + RQ - 1) // RQ) * RQ,
-               ((max_b_rows + 2 + RQ - 1) // RQ) * RQ)
+    """Geometric bucket ladder (x RQ) bounds compile count to ~7 shapes."""
+    cap = ((max_b_rows + 2 + RQ - 1) // RQ) * RQ
+    r = RQ
+    while r < min(max(b_rows, 1), cap):
+        r *= 2
+    return min(r, cap)
 
 
 class PallasEngine:
