@@ -13,13 +13,25 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..config import AlignConfig
-from ..native import np_info as get_np_info_vec
 from ..ops.pallas_dp import (BLK, LANES, PAD0, RQ, TBLK, W,
                              build_cont_lanes, get_dp_call, get_tb_call)
 from .windows import Window, build_windows
 
 G_CALL = 4                      # programs per device call (G_CALL*W windows)
 _OPCH = np.frombuffer(b"=XID", dtype=np.uint8)
+_pack16_fn = None
+
+
+def _get_pack16():
+    global _pack16_fn
+    if _pack16_fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        def pack(v):      # (G, NT, W, 128) i32, all values < 2**16
+            return v[..., 0::2] | (v[..., 1::2] << 16)
+        _pack16_fn = jax.jit(pack)
+    return _pack16_fn
 
 
 def _r_pad_for(b_rows: int, max_b_rows: int) -> int:
@@ -127,11 +139,9 @@ class PallasEngine:
         ntb = r_pad // TBLK
         NT = r_pad // LANES
 
-        linr = np.zeros((B, NL, P2), np.int8)
-        lins = np.zeros((B, NL, P2), np.int8)
-        linr[:, 1 + max_n:, :] = 1          # lidx==0 in padding
-        lins[:, 1 + max_n:, :] = 1
-        steps = np.zeros((G, nblk, W, 128), np.int8)
+        ref8 = np.zeros((B, r_pad), np.int8)
+        seq8 = np.zeros((B, r_pad), np.int8)
+        sd8 = np.zeros((G, W, r_pad), np.int8)
         scal = np.zeros((G, W, 8), np.int32)
         p0c = np.zeros((G, W, nblk), np.int32)
         p0r = np.zeros((G, W, nblk), np.int32)
@@ -143,65 +153,49 @@ class PallasEngine:
         s1r = np.zeros((G, W, ntb), np.int32)
         maxb = np.zeros((G, 1), np.int32)
 
+        blk_T0 = np.arange(nblk, dtype=np.int64) * BLK
+        tb_T0 = np.arange(ntb, dtype=np.int64) * TBLK
+        tb_T1 = tb_T0 + TBLK - 1
+
         max_rows = 1
         for j, w in enumerate(group):
             g, wl = divmod(j, W)
-            P = len(w.ref)
-            S = len(w.seq)
             max_rows = max(max_rows, w.b_rows)
-            npi_r = get_np_info_vec(w.ref.astype(np.uint8), max_n)
-            npi_s = get_np_info_vec(w.seq.astype(np.uint8), max_n)
-            linr[j, 0, PADL:PADL + P] = w.ref
-            linr[j, 1:1 + max_n, PADL:PADL + P] = np.minimum(
-                npi_r[:, 0, :], 127).T
-            linr[j, 1 + max_n:, PADL:PADL + P] = (npi_r[:, 1, :] == 0).T
-            lins[j, 0, A_OFF - S + 1:A_OFF + 1] = w.seq[::-1]
-            lins[j, 1:1 + max_n, A_OFF - S + 1:A_OFF + 1] = np.minimum(
-                npi_s[:, 0, :], 127).T[:, ::-1]
-            lins[j, 1 + max_n:, A_OFF - S + 1:A_OFF + 1] = (
-                npi_s[:, 1, :] == 0).T[:, ::-1]
+            ref8[j, :len(w.ref)] = w.ref
+            seq8[j, :len(w.seq)] = w.seq
 
             R_w = w.b_rows
             inss = w.inss_local.astype(np.int64)
             dels = np.arange(R_w) - inss
-            sd = np.zeros(r_pad + 128, np.int8)
-            sd[1:R_w] = np.diff(dels)
-            for b in range(nblk):
-                steps[g, b, wl, :] = sd[b * BLK:b * BLK + 128]
+            sd8[g, wl, 1:R_w] = np.diff(dels)
             scal[g, wl] = (R_w, w.n_ins, w.n_del, w.ref_guard, w.seq_guard,
                            0, 0, 0)
 
             last = R_w - 1
-            for b in range(nblk):
-                T0 = min(b * BLK, last)
-                idx = int(dels[T0]) - r - 7 + PADL
-                p0c[g, wl, b] = idx // LANES
-                p0r[g, wl, b] = idx % LANES
-                a_hi = int(inss[T0]) - r - 7 + 127
-                sidx = A_OFF - a_hi
-                s0c[g, wl, b] = sidx // LANES
-                s0r[g, wl, b] = sidx % LANES
-            for b in range(ntb):
-                T0 = min(b * TBLK, last)
-                T1 = min(b * TBLK + TBLK - 1, last)
-                idx = int(dels[T0]) - r - 1 + PADL
-                p1c[g, wl, b] = idx // LANES
-                p1r[g, wl, b] = idx % LANES
-                a1_hi = int(inss[T1]) + r + 2
-                sidx = A_OFF - a1_hi
-                s1c[g, wl, b] = sidx // LANES
-                s1r[g, wl, b] = sidx % LANES
+            T0s = np.minimum(blk_T0, last)
+            idx = dels[T0s] - r - 7 + PADL
+            p0c[g, wl] = idx // LANES
+            p0r[g, wl] = idx % LANES
+            sidx = A_OFF - (inss[T0s] - r - 7 + 127)
+            s0c[g, wl] = sidx // LANES
+            s0r[g, wl] = sidx % LANES
+            idx = dels[np.minimum(tb_T0, last)] - r - 1 + PADL
+            p1c[g, wl] = idx // LANES
+            p1r[g, wl] = idx % LANES
+            sidx = A_OFF - (inss[np.minimum(tb_T1, last)] + r + 2)
+            s1c[g, wl] = sidx // LANES
+            s1r[g, wl] = sidx % LANES
         maxb[:, 0] = ((max_rows + RQ - 1) // RQ) * RQ - 1
         maxb[:, 0] = np.minimum(maxb[:, 0], r_pad - 1)
 
         dp = get_dp_call(r_pad, G, r, cfg.indel_start, cfg.indel_extend,
                          cfg.inf, max_n, self.k_cont, self.interpret)
         tb = get_tb_call(r_pad, G, self.interpret)
+        from .prepass import get_prepass
+        prepass = get_prepass(r_pad, G, W, max_n, cfg.max_l)
 
-        to_i32 = lambda a: jnp.asarray(a).astype(jnp.int32)
-        linr_d = to_i32(linr.reshape(B, NL, P2 // 128, 128))
-        lins_d = to_i32(lins.reshape(B, NL, P2 // 128, 128))
-        steps_d = to_i32(steps)
+        linr_d, lins_d, steps_d = prepass(
+            jnp.asarray(ref8), jnp.asarray(seq8), jnp.asarray(sd8))
         dp_bail, packed = dp(
             jnp.asarray(p0c), jnp.asarray(p0r), jnp.asarray(s0c),
             jnp.asarray(s0r), jnp.asarray(maxb), jnp.asarray(self._sub),
@@ -212,14 +206,26 @@ class PallasEngine:
             jnp.asarray(s1r), jnp.asarray(maxb), jnp.asarray(scal),
             linr_d, lins_d, packed)
 
-        return (dp_bail, tb_bail, slots, r_pad)
+        packed16 = r_pad * 4 + 4 < (1 << 16)
+        if packed16:
+            # halve the D2H volume: pack adjacent slot lanes into one i32
+            slots = _get_pack16()(slots)
+        return (dp_bail, tb_bail, slots, r_pad, packed16)
 
     def _collect_group(self, group: Sequence[Window], handles):
         import jax
-        dp_bail, tb_bail, slots, r_pad = handles
+        dp_bail, tb_bail, slots, r_pad, packed16 = handles
         dp_bail, tb_bail, slots = jax.device_get((dp_bail, tb_bail, slots))
         dp_bail = dp_bail[:, :, 0]
         tb_bail = tb_bail[:, :, 0]
+        if packed16:
+            lo = slots & 0xFFFF
+            hi = (slots >> 16) & 0xFFFF
+            full = np.empty(slots.shape[:-1] + (slots.shape[-1] * 2,),
+                            np.int32)
+            full[..., 0::2] = lo
+            full[..., 1::2] = hi
+            slots = full
 
         out = []
         for j, w in enumerate(group):

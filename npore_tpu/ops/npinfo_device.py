@@ -1,0 +1,106 @@
+"""On-device n-polymer scan (XLA/jnp, batched over windows).
+
+Exact reformulation of the reference scanner (src/aln.pyx:179-251, golden
+model golden/npinfo.py) as segmented associative scans, derived from the
+sequential spec:
+
+* per period n, self-similarity runs partition each residue class (mod n)
+  into chains; within a chain every start shares the same coverage end, so
+  "start s covers position p" is equivalent to "p is chain-reachable from
+  s" -- no per-start interval logic is needed;
+* the final writer of p is the LAST chain-predecessor with raw length
+  > max_l if any exists (those always overwrite the clamped stored value),
+  otherwise the FIRST qualifying chain-predecessor (later starts in a
+  chain have strictly smaller raw lengths and never overwrite);
+* L_IDX is only consumed as the predicate L_IDX == 0, which reduces to
+  ``winner == p``.
+
+Outputs per window: L (clamped) and LZ (= L_IDX==0) planes, (B, max_n, P).
+Segmented min/max scans run along the position axis via
+jax.lax.associative_scan with a (value, segment-reset) monoid.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+
+def _segscan(vals, keep, combine, axis):
+    """Segmented scan: carry resets where keep is False."""
+    import jax
+    import jax.numpy as jnp
+
+    def op(a, b):
+        av, ak = a
+        bv, bk = b
+        return jnp.where(bk, combine(av, bv), bv), ak & bk
+    out, _ = jax.lax.associative_scan(op, (vals, keep), axis=axis)
+    return out
+
+
+def np_info_device(seq, max_n: int = 6, max_l: int = 100):
+    """seq: (B, P) int32 (0='N'). Returns (L, LZ): (B, max_n, P) int32.
+
+    Positions past each window's real length must be 0-padded by the
+    caller; padding yields L=0 / LZ=1 exactly like the host packers.
+    """
+    import jax.numpy as jnp
+
+    B, P = seq.shape
+    pos = jnp.arange(P, dtype=jnp.int32)[None, :]
+    BIG = jnp.int32(np.int32(2 ** 30))
+    M = jnp.int32(P + 1)          # raw < M encoding multiplier
+
+    Ls = []
+    LZs = []
+    stored = []                   # clamped L planes of finished layers
+    for n in range(1, max_n + 1):
+        m = jnp.concatenate(
+            [seq[:, :-n] == seq[:, n:], jnp.zeros((B, n), bool)], axis=1)
+        # t[s] = run length of m starting at s (suffix scan)
+        nf = jnp.where(m, P, pos)
+        nf = jnp.flip(jnp.minimum.accumulate(jnp.flip(nf, 1), axis=1), 1)
+        t = jnp.maximum(nf - pos, 0)
+        units = t // n
+        raw = jnp.where(units > 0, units + 1, 0)
+        qual = (raw > 2) & (seq != 0)
+        for n2 in range(1, n):
+            qual = qual & (raw * n > stored[n2 - 1] * n2)
+
+        # chain link: p-n reaches p when its run spans at least n more
+        t_prev = jnp.concatenate(
+            [jnp.zeros((B, n), t.dtype), t[:, :-n]], axis=1)
+        link = (pos >= n) & (t_prev >= n)
+
+        # the scans step by n: put residue classes on their own (major)
+        # axis and scan along the large minor axis for TPU-friendly tiles
+        pad = (-P) % n
+        def classes(x, fill):
+            xp = jnp.concatenate(
+                [x, jnp.full((B, pad), fill, x.dtype)], axis=1) if pad else x
+            return jnp.swapaxes(xp.reshape(B, (P + pad) // n, n), 1, 2)
+
+        def declass(x):
+            return jnp.swapaxes(x, 1, 2).reshape(B, -1)[:, :P]
+
+        enc_first = jnp.where(qual, pos * M + raw, BIG)
+        first = declass(_segscan(classes(enc_first, BIG),
+                                 classes(link, False), jnp.minimum, axis=2))
+        big_run = qual & (raw > max_l)
+        enc_last = jnp.where(big_run, pos * M + raw, -1)
+        last = declass(_segscan(classes(enc_last, jnp.int32(-1)),
+                                classes(link, False), jnp.maximum, axis=2))
+
+        has_first = first < BIG
+        has_big = last >= 0
+        win = jnp.where(has_big, last // M, first // M)
+        raw_w = jnp.where(has_big, last % M, first % M)
+        covered = has_first | has_big
+        L = jnp.where(covered, jnp.minimum(raw_w, max_l), 0)
+        LZ = jnp.where(covered, (win == pos).astype(jnp.int32), 1)
+        Ls.append(L.astype(jnp.int32))
+        LZs.append(LZ)
+        stored.append(Ls[-1])
+
+    return jnp.stack(Ls, axis=1), jnp.stack(LZs, axis=1)
