@@ -46,7 +46,11 @@ def argparser() -> argparse.ArgumentParser:
     p.add_argument("--engine", default="auto",
                    choices=["auto", "xla", "pallas", "golden"],
                    help="DP engine (new; no reference equivalent).")
-    p.add_argument("--batch_reads", type=int, default=128)
+    p.add_argument("--batch_reads", type=int, default=512)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="Write a jax.profiler trace of the realignment "
+                        "stage to this directory (new; view with "
+                        "TensorBoard or Perfetto).")
     return p
 
 
@@ -123,6 +127,11 @@ def main(argv=None) -> int:
 
     print("> computing batched read realignments")
     start = perf_counter()
+    prof = None
+    if args.profile_dir:
+        import jax
+        jax.profiler.start_trace(args.profile_dir)
+        prof = args.profile_dir
     realigner = Realigner(sub_scores, np_scores, cfg.align, engine=cfg.engine)
     reads = get_read_data(bam, regions, cfg.max_reads)
     n = 0
@@ -132,9 +141,20 @@ def main(argv=None) -> int:
         for rec in realigner.realign_records(reads, cfg.batch_reads):
             fh.write(rec.to_line() + "\n")
             n += 1
+            if n % 1000 == 0:
+                print(f"\r    {n} reads realigned "
+                      f"({n/(perf_counter()-start):.0f} reads/s)",
+                      end="", flush=True)
+    if prof:
+        import jax
+        jax.profiler.stop_trace()
+        print(f"    profiler trace written to {prof}")
     for e in realigner.errors:
         print(f"WARNING: {e}")
-    print(f"    {n} reads realigned; runtime: {perf_counter()-start:.2f}s")
+    if realigner.bail_count:
+        print(f"    {realigner.bail_count} alignments used the golden "
+              f"fallback")
+    print(f"\r    {n} reads realigned; runtime: {perf_counter()-start:.2f}s")
     return 0
 
 

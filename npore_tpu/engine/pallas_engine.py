@@ -44,15 +44,28 @@ def _r_pad_for(b_rows: int, max_b_rows: int) -> int:
 
 
 class PallasEngine:
+    """Batched Pallas realignment engine.
+
+    Data parallelism across chips is group-round-robin: each submitted
+    group's arrays are placed on the next local device, so the (async)
+    DP/TB dispatches for different groups execute concurrently on
+    different chips -- the single-controller analog of the 1-D data mesh
+    in parallel/mesh.py (reads are embarrassingly parallel; score tables
+    are tiny and re-materialized per device by jit).
+    """
+
     def __init__(self, sub_scores: np.ndarray, np_scores: np.ndarray,
                  cfg: AlignConfig = AlignConfig(), k_cont: int = 8,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None,
+                 devices: Optional[list] = None):
         import jax
         self.cfg = cfg
         self.k_cont = k_cont
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
         self.interpret = interpret
+        self.devices = devices if devices is not None else jax.local_devices()
+        self._rr = 0
         self.sub_scores = sub_scores.astype(np.float32)
         self.np_scores = np_scores
         self.cont = build_cont_lanes(np_scores, cfg.max_n, cfg.max_l, k_cont)
@@ -126,6 +139,10 @@ class PallasEngine:
         import jax
         import jax.numpy as jnp
 
+        dev = self.devices[self._rr % len(self.devices)]
+        self._rr += 1
+        put = lambda a: jax.device_put(np.asarray(a), dev)
+
         cfg = self.cfg
         max_n = cfg.max_n
         r = cfg.r
@@ -194,16 +211,14 @@ class PallasEngine:
         from .prepass import get_prepass
         prepass = get_prepass(r_pad, G, W, max_n, cfg.max_l)
 
-        linr_d, lins_d, steps_d = prepass(
-            jnp.asarray(ref8), jnp.asarray(seq8), jnp.asarray(sd8))
+        linr_d, lins_d, steps_d = prepass(put(ref8), put(seq8), put(sd8))
+        scal_d = put(scal)
+        maxb_d = put(maxb)
         dp_bail, packed = dp(
-            jnp.asarray(p0c), jnp.asarray(p0r), jnp.asarray(s0c),
-            jnp.asarray(s0r), jnp.asarray(maxb), jnp.asarray(self._sub),
-            jnp.asarray(scal), jnp.asarray(self.cont), steps_d,
-            linr_d, lins_d)
+            put(p0c), put(p0r), put(s0c), put(s0r), maxb_d, put(self._sub),
+            scal_d, put(self.cont), steps_d, linr_d, lins_d)
         tb_bail, slots = tb(
-            jnp.asarray(p1c), jnp.asarray(p1r), jnp.asarray(s1c),
-            jnp.asarray(s1r), jnp.asarray(maxb), jnp.asarray(scal),
+            put(p1c), put(p1r), put(s1c), put(s1r), maxb_d, scal_d,
             linr_d, lins_d, packed)
 
         packed16 = r_pad * 4 + 4 < (1 << 16)

@@ -89,6 +89,10 @@ class Realigner:
                                   cont=jnp.asarray(self._cont.reshape(-1)))
             self._dp_cache: Dict[int, object] = {}
 
+    @property
+    def bail_count(self) -> int:
+        return self._pallas.bail_count if self._pallas else 0
+
     # ------------------------------------------------------------------
     def _dp(self, r_max: int):
         fn = self._dp_cache.get(r_max)

@@ -90,3 +90,22 @@ def test_pallas_repeat_rich(engine, score_matrices):
         ("AAGGAAGGAAGGAAGGTT", "AAGGAAGGTT", "8D10="),
     ]
     _check(engine, score_matrices, cases)
+
+
+def test_pallas_multidevice_roundrobin(score_matrices):
+    """Groups round-robin across all local devices (4 virtual CPU devices
+    via conftest's 8-device flag); output stays exact."""
+    import jax
+
+    sub_scores, np_scores, _, _ = score_matrices
+    eng = PallasEngine(sub_scores, np_scores, AlignConfig(), interpret=True,
+                       devices=jax.local_devices()[:4])
+    cases = [TOYS[0], TOYS[8]] * 70          # 140 alignments -> >1 group
+    items = [AlignItem(bases_to_int(r), bases_to_int(s), expand_cigar(c))
+             for r, s, c in cases]
+    got = eng.align_batch(items)
+    for (r, s, c), g in zip(cases, got):
+        want = golden_align(bases_to_int(r), bases_to_int(s),
+                            expand_cigar(c), sub_scores, np_scores, eng.cfg)
+        assert g == want
+    assert eng._rr >= 2
