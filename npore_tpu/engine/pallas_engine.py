@@ -57,10 +57,11 @@ class PallasEngine:
     def __init__(self, sub_scores: np.ndarray, np_scores: np.ndarray,
                  cfg: AlignConfig = AlignConfig(), k_cont: int = 8,
                  interpret: Optional[bool] = None,
-                 devices: Optional[list] = None):
+                 devices: Optional[list] = None, g_call: int = G_CALL):
         import jax
         self.cfg = cfg
         self.k_cont = k_cont
+        self.g_call = g_call
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
         self.interpret = interpret
@@ -98,7 +99,7 @@ class PallasEngine:
         pending = []
         for r_pad, wins in sorted(by_r.items()):
             wins.sort(key=lambda w: w.b_rows)
-            bw = G_CALL * W
+            bw = self.g_call * W
             for lo in range(0, len(wins), bw):
                 group = wins[lo:lo + bw]
                 pending.append((group, self._submit_group(group, r_pad)))
@@ -146,8 +147,8 @@ class PallasEngine:
         cfg = self.cfg
         max_n = cfg.max_n
         r = cfg.r
-        B = G_CALL * W
-        G = G_CALL
+        B = self.g_call * W
+        G = self.g_call
         NL = 1 + 2 * max_n
         P2 = r_pad + 512
         PADL = 128            # leading pad (multiple of 128 keeps lane binding)
@@ -225,11 +226,11 @@ class PallasEngine:
         if packed16:
             # halve the D2H volume: pack adjacent slot lanes into one i32
             slots = _get_pack16()(slots)
-        return (dp_bail, tb_bail, slots, r_pad, packed16)
+        return (dp_bail, tb_bail, slots, int(maxb[0, 0]), packed16)
 
     def _collect_group(self, group: Sequence[Window], handles):
         import jax
-        dp_bail, tb_bail, slots, r_pad, packed16 = handles
+        dp_bail, tb_bail, slots, maxb, packed16 = handles
         dp_bail, tb_bail, slots = jax.device_get((dp_bail, tb_bail, slots))
         dp_bail = dp_bail[:, :, 0]
         tb_bail = tb_bail[:, :, 0]
@@ -245,7 +246,9 @@ class PallasEngine:
         out = []
         for j, w in enumerate(group):
             g, wl = divmod(j, W)
-            vec = slots[g, :, wl, :].reshape(-1)[:r_pad]
+            # slot tiles beyond the group's processed rows are never
+            # written by the TB kernel -- truncate before decoding
+            vec = slots[g, :, wl, :].reshape(-1)[:maxb + 1]
             nz = np.flatnonzero(vec)
             ops = vec[nz] & 3
             counts = vec[nz] >> 2

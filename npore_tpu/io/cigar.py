@@ -130,12 +130,17 @@ def normalize_cigar(cigar: str, int_ref: np.ndarray, int_seq: np.ndarray) -> str
     from ..constants import cig_to_int, int_to_cig
     cigar = cigar.replace("X", "M").replace("=", "M")
     int_cig = cig_to_int(cigar)
-    while True:
-        old = int_cig.copy()
-        int_cig = push_indels_left(int_cig, int_ref, OP_D)
-        int_cig = push_inss_thru_dels(int_cig)
-        int_cig = push_indels_left(int_cig, int_seq, OP_I)
-        int_cig = push_inss_thru_dels(int_cig)
-        if np.array_equal(old, int_cig):
-            break
+    from ..native import normalize_cigar_ints
+    fast = normalize_cigar_ints(int_cig, int_ref, int_seq)
+    if fast is not None:
+        int_cig = fast
+    else:
+        while True:
+            old = int_cig.copy()
+            int_cig = push_indels_left(int_cig, int_ref, OP_D)
+            int_cig = push_inss_thru_dels(int_cig)
+            int_cig = push_indels_left(int_cig, int_seq, OP_I)
+            int_cig = push_inss_thru_dels(int_cig)
+            if np.array_equal(old, int_cig):
+                break
     return int_to_cig(int_cig).replace("ID", "M")

@@ -49,6 +49,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.c_int32, ctypes.c_int32,
                     ctypes.POINTER(ctypes.c_int32)]
                 lib.np_info.restype = None
+                lib.normalize_cigar.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int8),
+                    ctypes.POINTER(ctypes.c_int8)]
+                lib.normalize_cigar.restype = ctypes.c_int32
                 _lib = lib
             except Exception:
                 _lib = None
@@ -68,3 +73,20 @@ def np_info(seq: np.ndarray, max_n: int = 6, max_l: int = 100) -> np.ndarray:
                 len(seq), max_n, max_l,
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return out
+
+
+def normalize_cigar_ints(cig: np.ndarray, int_ref: np.ndarray,
+                         int_seq: np.ndarray) -> Optional[np.ndarray]:
+    """Native in-place left-normalization fixpoint over int-coded ops
+    (reference: src/bam.pyx:70-77). Returns None without a compiler."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cig = np.ascontiguousarray(cig, dtype=np.uint8)
+    ref8 = np.ascontiguousarray(int_ref, dtype=np.int8)
+    seq8 = np.ascontiguousarray(int_seq, dtype=np.int8)
+    lib.normalize_cigar(
+        cig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(cig),
+        ref8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        seq8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+    return cig

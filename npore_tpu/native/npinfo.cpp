@@ -61,3 +61,84 @@ void np_info(const uint8_t* seq, int64_t slen, int32_t max_n, int32_t max_l,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CIGAR left-normalization (reference: src/cig.pyx:102-192, src/bam.pyx:64-78)
+// Op codes follow 'MIDNSHP=XB': M=0 I=1 D=2 E('=')=7 X=8.
+// ---------------------------------------------------------------------------
+
+static const uint8_t OPM = 0, OPI = 1, OPD = 2, OPE = 7, OPX = 8;
+
+static void push_indels_left_c(uint8_t* cig, int64_t n, const int8_t* seq,
+                               uint8_t push_op) {
+    int64_t cig_ptr = 0, seq_ptr = 0;
+    std::vector<uint8_t> moved;
+    while (cig_ptr < n) {
+        uint8_t op = cig[cig_ptr];
+        if (op != push_op) {
+            cig_ptr++;
+            if (op == OPM || op == OPX || op == OPE) seq_ptr++;
+            continue;
+        }
+        int64_t indel_len = 1;
+        while (cig_ptr + indel_len < n && cig[cig_ptr + indel_len] == push_op)
+            indel_len++;
+
+        int64_t nshifts = 0;
+        while (cig_ptr - nshifts > 0 && seq_ptr - nshifts > 0 &&
+               seq[seq_ptr - nshifts - 1] ==
+                   seq[seq_ptr - nshifts - 1 + indel_len] &&
+               (cig[cig_ptr - nshifts - 1] == OPE ||
+                cig[cig_ptr - nshifts - 1] == OPM))
+            nshifts++;
+
+        if (nshifts) {
+            moved.assign(cig + cig_ptr - nshifts, cig + cig_ptr);
+            for (int64_t i = 0; i < indel_len; i++)
+                cig[cig_ptr - nshifts + i] = cig[cig_ptr + i];
+            for (int64_t i = 0; i < nshifts; i++)
+                cig[cig_ptr - nshifts + indel_len + i] = moved[i];
+        }
+        cig_ptr += indel_len;
+        // reference quirk: seq_ptr advances as if by the pre-loop op
+        if (op == OPM || op == OPX || op == OPE) seq_ptr++;
+        else if (op == push_op) seq_ptr += indel_len;
+    }
+}
+
+static void push_inss_thru_dels_c(uint8_t* cig, int64_t n) {
+    for (int64_t i = 0; i + 1 < n; i++) {
+        if (cig[i] == OPD && cig[i + 1] == OPI) {
+            int64_t del_idx = i - 1;
+            while (del_idx >= 0 && cig[del_idx] == OPD) del_idx--;
+            int64_t dels = i - del_idx;
+            int64_t ins_idx = i + 1;
+            while (ins_idx < n && cig[ins_idx] == OPI) ins_idx++;
+            int64_t inss = ins_idx - i - 1;
+            for (int64_t k = 0; k < inss; k++) cig[del_idx + 1 + k] = OPI;
+            for (int64_t k = 0; k < dels; k++)
+                cig[del_idx + 1 + inss + k] = OPD;
+        }
+    }
+}
+
+extern "C" {
+
+// In-place fixpoint normalization; returns the number of passes.
+int32_t normalize_cigar(uint8_t* cig, int64_t n, const int8_t* ref,
+                        const int8_t* seq) {
+    std::vector<uint8_t> prev(n);
+    int32_t iters = 0;
+    while (true) {
+        std::memcpy(prev.data(), cig, n);
+        push_indels_left_c(cig, n, ref, OPD);
+        push_inss_thru_dels_c(cig, n);
+        push_indels_left_c(cig, n, seq, OPI);
+        push_inss_thru_dels_c(cig, n);
+        iters++;
+        if (std::memcmp(prev.data(), cig, n) == 0) break;
+    }
+    return iters;
+}
+
+}  // extern "C"

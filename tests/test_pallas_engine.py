@@ -109,3 +109,34 @@ def test_pallas_multidevice_roundrobin(score_matrices):
                             expand_cigar(c), sub_scores, np_scores, eng.cfg)
         assert g == want
     assert eng._rr >= 2
+
+
+def test_pallas_short_group_slot_truncation(score_matrices):
+    """Regression: a group whose max rows land a full RQ quantum below the
+    bucket's r_pad leaves the top slot tiles unwritten; the decoder must
+    truncate at the group's processed-row bound instead of reading them
+    (caught as garbage multi-hundred-kb CIGARs at scale on hardware)."""
+    sub_scores, np_scores, _, _ = score_matrices
+    eng = PallasEngine(sub_scores, np_scores, AlignConfig(), interpret=True,
+                       g_call=1)
+    rng = np.random.default_rng(3)
+    n = 480                       # b_rows ~ 965 -> bucket 1536, maxb 1151
+    ref = "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+    seq, cig = [], []
+    for ch in ref:
+        u = rng.random()
+        if u < 0.03:
+            cig.append("D")
+            continue
+        if u < 0.06:
+            seq.append("ACGT"[rng.integers(0, 4)])
+            cig.append("I")
+        seq.append(ch)
+        cig.append("=")
+    cases = [(ref, "".join(seq), "".join(cig))] * 33   # 2 groups of 32
+    items = [AlignItem(bases_to_int(r), bases_to_int(s), c)
+             for r, s, c in cases]
+    got = eng.align_batch(items)
+    want = golden_align(items[0].ref, items[0].seq, items[0].cigar,
+                        sub_scores, np_scores, eng.cfg)
+    assert all(g == want for g in got)
