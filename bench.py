@@ -47,7 +47,7 @@ def main() -> None:
     reads = [r for r in BamReader(os.path.join(REPO, "tests/data/reads.bam"))
              if not (r.is_secondary or r.is_supplementary or r.is_unmapped)]
 
-    rep = int(os.environ.get("NPORE_BENCH_REPLICAS", "64"))
+    rep = int(os.environ.get("NPORE_BENCH_REPLICAS", "256"))
     work = reads * rep                   # 640 reads ≈ 350k read-bases
     rl = Realigner(sub_scores, np_scores, engine="pallas")
 

@@ -17,7 +17,7 @@ from ..ops.pallas_dp import (BLK, LANES, PAD0, RQ, TBLK, W,
                              build_cont_lanes, get_dp_call, get_tb_call)
 from .windows import Window, build_windows
 
-G_CALL = 4                      # programs per device call (G_CALL*W windows)
+G_CALL = 8                      # programs per device call (G_CALL*W windows)
 _OPCH = np.frombuffer(b"=XID", dtype=np.uint8)
 _pack16_fn = None
 
@@ -61,10 +61,12 @@ class PallasEngine:
         import jax
         self.cfg = cfg
         self.k_cont = k_cont
-        self.g_call = g_call
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
         self.interpret = interpret
+        if interpret and g_call == G_CALL:
+            g_call = 1          # interpret mode: small groups keep tests fast
+        self.g_call = g_call
         self.devices = devices if devices is not None else jax.local_devices()
         self._rr = 0
         self.sub_scores = sub_scores.astype(np.float32)

@@ -99,7 +99,7 @@ def test_pallas_multidevice_roundrobin(score_matrices):
 
     sub_scores, np_scores, _, _ = score_matrices
     eng = PallasEngine(sub_scores, np_scores, AlignConfig(), interpret=True,
-                       devices=jax.local_devices()[:4])
+                       devices=jax.local_devices()[:4], g_call=1)
     cases = [TOYS[0], TOYS[8]] * 70          # 140 alignments -> >1 group
     items = [AlignItem(bases_to_int(r), bases_to_int(s), expand_cigar(c))
              for r, s, c in cases]
@@ -140,3 +140,35 @@ def test_pallas_short_group_slot_truncation(score_matrices):
     want = golden_align(items[0].ref, items[0].seq, items[0].cigar,
                         sub_scores, np_scores, eng.cfg)
     assert all(g == want for g in got)
+
+
+def test_pallas_chunked_alignment(score_matrices):
+    """Multi-chunk windows (b_rows > max_b_rows): the standardize-vcf
+    whole-contig path splits alignments at anti-diagonal breaks
+    (reference: src/aln.pyx:344-358); chunk CIGARs must concatenate to the
+    golden result for the same config."""
+    sub_scores, np_scores, _, _ = score_matrices
+    cfg = AlignConfig(max_b_rows=500)
+    eng = PallasEngine(sub_scores, np_scores, cfg, interpret=True, g_call=1)
+    rng = np.random.default_rng(13)
+    n = 600                        # b_rows ~ 1200 -> 3 chunks of <= 501 rows
+    ref = "".join("ACGT"[i] for i in rng.integers(0, 4, n))
+    seq, cig = [], []
+    for ch in ref:
+        u = rng.random()
+        if u < 0.04:
+            cig.append("D")
+            continue
+        if u < 0.08:
+            seq.append("ACGT"[rng.integers(0, 4)])
+            cig.append("I")
+        seq.append(ch)
+        cig.append("=")
+    item = AlignItem(bases_to_int(ref), bases_to_int("".join(seq)),
+                     "".join(cig))
+    from npore_tpu.engine.windows import build_windows
+    assert len(build_windows(item.ref, item.seq, item.cigar, cfg)) >= 2
+    got = eng.align_batch([item])
+    want = golden_align(item.ref, item.seq, item.cigar, sub_scores,
+                        np_scores, cfg)
+    assert got[0] == want
