@@ -8,7 +8,7 @@ worker hosts without fork-inheritance tricks.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

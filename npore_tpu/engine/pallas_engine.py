@@ -7,14 +7,13 @@ the exact golden engine.
 """
 from __future__ import annotations
 
-import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..config import AlignConfig
-from ..ops.pallas_dp import (BLK, LANES, PAD0, RQ, TBLK, W,
-                             build_cont_lanes, get_dp_call, get_tb_call)
+from ..ops.pallas_dp import (BLK, LANES, RQ, TBLK, W, build_cont_lanes,
+                             get_dp_call, get_tb_call)
 from .windows import Window, build_windows
 
 G_CALL = 8                      # programs per device call (G_CALL*W windows)

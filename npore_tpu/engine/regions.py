@@ -2,10 +2,9 @@
 explicit region list (reference: src/util.py:16-154)."""
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 from ..config import RealignConfig
-from ..io.bam import open_alignment_file
 from ..io.fasta import FastaFile
 
 Region = Tuple[str, int, int]

@@ -19,7 +19,7 @@ All value arithmetic is float32, matching the reference's C float math.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -27,8 +27,7 @@ The scan emits the MAT plane's (TYP, RUN) per row; traceback runs on host
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,8 +21,6 @@ jax.lax.associative_scan with a (value, segment-reset) monoid.
 """
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 

@@ -33,11 +33,7 @@ R_pad must be a multiple of 384 (= lcm(BLK=48, slot tile 128)).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import numpy as np
-
-from ..config import AlignConfig
 
 MAT, INS, LEN, DEL, SHR = 0, 1, 2, 3, 4
 LANES = 128
