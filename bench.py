@@ -47,8 +47,11 @@ def main() -> None:
     reads = [r for r in BamReader(os.path.join(REPO, "tests/data/reads.bam"))
              if not (r.is_secondary or r.is_supplementary or r.is_unmapped)]
 
+    import dataclasses
     rep = int(os.environ.get("NPORE_BENCH_REPLICAS", "256"))
-    work = reads * rep                   # 640 reads ≈ 350k read-bases
+    # fresh record objects per replica: per-record caches must not let the
+    # benchmark overstate throughput vs distinct-read workloads
+    work = [dataclasses.replace(r) for r in reads for _ in range(rep)]
     rl = Realigner(sub_scores, np_scores, engine="pallas")
 
     # warmup: compile + one full pass

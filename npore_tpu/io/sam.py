@@ -37,6 +37,16 @@ class SamRecord:
     seq: str = "*"
     qual: str = "*"
     tags: Dict[str, Tuple[str, object]] = field(default_factory=dict)
+    _tuples: Optional[List[Tuple[int, str]]] = field(
+        default=None, repr=False, compare=False)
+
+    @property
+    def tuples(self) -> List[Tuple[int, str]]:
+        """Memoized cigar_tuples (hot path: reference_length, clip
+        stripping, MD reconstruction all walk the same CIGAR)."""
+        if self._tuples is None:
+            self._tuples = cigar_tuples(self.cigar)
+        return self._tuples
 
     # --- flag helpers (pysam parity: src/bam.pyx:31-32) ---
     @property
@@ -61,7 +71,7 @@ class SamRecord:
     @property
     def reference_length(self) -> int:
         """Reference bases spanned by the alignment."""
-        return sum(n for n, op in cigar_tuples(self.cigar) if op in CONSUMES_REF)
+        return sum(n for n, op in self.tuples if op in CONSUMES_REF)
 
     @property
     def reference_start(self) -> int:
@@ -72,7 +82,7 @@ class SamRecord:
         return self.pos + self.reference_length
 
     def _clip_lengths(self) -> Tuple[int, int]:
-        tups = cigar_tuples(self.cigar)
+        tups = self.tuples
         lead = 0
         for n, op in tups:
             if op in "SH":
@@ -134,7 +144,7 @@ class SamRecord:
             md_i += 1
             return op
 
-        for n, op in cigar_tuples(self.cigar):
+        for n, op in self.tuples:
             if op in "SH":
                 if op == "S":
                     pass  # qseq already has clips removed
