@@ -172,3 +172,26 @@ def test_pallas_chunked_alignment(score_matrices):
     want = golden_align(item.ref, item.seq, item.cigar, sub_scores,
                         np_scores, cfg)
     assert got[0] == want
+
+
+def test_pallas_synthetic_reads(score_matrices):
+    """Fresh synthetic reads (generator mirrors test/generate_bam.py):
+    pallas == golden on data never seen by the fixtures."""
+    from generate_data import make_read, make_ref
+
+    sub_scores, np_scores, _, _ = score_matrices
+    cfg = AlignConfig()
+    eng = PallasEngine(sub_scores, np_scores, cfg, interpret=True)
+    rng = np.random.default_rng(99)
+    ref = make_ref(rng, 600)
+    items = []
+    for _ in range(6):
+        pos, seq, cig = make_read(rng, ref, min_len=150, max_len=250)
+        items.append(AlignItem(bases_to_int(ref[pos:pos + 250 + 50]
+                                            [:sum(c in "=XD" for c in cig)]),
+                               bases_to_int(seq), cig))
+    got = eng.align_batch(items)
+    for it, g in zip(items, got):
+        want = golden_align(it.ref, it.seq, it.cigar, sub_scores, np_scores,
+                            cfg)
+        assert g == want
