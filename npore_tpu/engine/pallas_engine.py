@@ -18,19 +18,36 @@ from .windows import Window, build_windows
 
 G_CALL = 8                      # programs per device call (G_CALL*W windows)
 _OPCH = np.frombuffer(b"=XID", dtype=np.uint8)
-_pack16_fn = None
+import functools as _functools
 
 
-def _get_pack16():
-    global _pack16_fn
-    if _pack16_fn is None:
-        import jax
-        import jax.numpy as jnp
+@_functools.lru_cache(maxsize=None)
+def _get_composite(r_pad: int, G: int, r: int, indel_start: float,
+                   indel_extend: float, inf: float, max_n: int, max_l: int,
+                   k_cont: int, interpret: bool):
+    """One jitted prepass+DP+TB chain: a single dispatch per group keeps
+    the ~25ms-latency tunnel from being paid three times."""
+    import jax
 
-        def pack(v):      # (G, NT, W, 128) i32, all values < 2**16
-            return v[..., 0::2] | (v[..., 1::2] << 16)
-        _pack16_fn = jax.jit(pack)
-    return _pack16_fn
+    from .prepass import get_prepass
+    prepass = get_prepass(r_pad, G, W, max_n, max_l)
+    dp = get_dp_call(r_pad, G, r, indel_start, indel_extend, inf, max_n,
+                     k_cont, interpret)
+    tb = get_tb_call(r_pad, G, interpret)
+    packed16 = r_pad * 4 + 4 < (1 << 16)
+
+    def run(ref8, seq8, sd8, p0c, p0r, s0c, s0r, p1c, p1r, s1c, s1r,
+            maxb, sub, scal, cont):
+        linr, lins, steps = prepass(ref8, seq8, sd8)
+        dp_bail, packed = dp(p0c, p0r, s0c, s0r, maxb, sub, scal, cont,
+                             steps, linr, lins)
+        tb_bail, slots = tb(p1c, p1r, s1c, s1r, maxb, scal, linr, lins,
+                            packed)
+        if packed16:
+            slots = slots[..., 0::2] | (slots[..., 1::2] << 16)
+        return dp_bail, tb_bail, slots
+
+    return jax.jit(run), packed16
 
 
 def _r_pad_for(b_rows: int, max_b_rows: int) -> int:
@@ -207,26 +224,13 @@ class PallasEngine:
         maxb[:, 0] = ((max_rows + RQ - 1) // RQ) * RQ - 1
         maxb[:, 0] = np.minimum(maxb[:, 0], r_pad - 1)
 
-        dp = get_dp_call(r_pad, G, r, cfg.indel_start, cfg.indel_extend,
-                         cfg.inf, max_n, self.k_cont, self.interpret)
-        tb = get_tb_call(r_pad, G, self.interpret)
-        from .prepass import get_prepass
-        prepass = get_prepass(r_pad, G, W, max_n, cfg.max_l)
-
-        linr_d, lins_d, steps_d = prepass(put(ref8), put(seq8), put(sd8))
-        scal_d = put(scal)
-        maxb_d = put(maxb)
-        dp_bail, packed = dp(
-            put(p0c), put(p0r), put(s0c), put(s0r), maxb_d, put(self._sub),
-            scal_d, put(self.cont), steps_d, linr_d, lins_d)
-        tb_bail, slots = tb(
-            put(p1c), put(p1r), put(s1c), put(s1r), maxb_d, scal_d,
-            linr_d, lins_d, packed)
-
-        packed16 = r_pad * 4 + 4 < (1 << 16)
-        if packed16:
-            # halve the D2H volume: pack adjacent slot lanes into one i32
-            slots = _get_pack16()(slots)
+        run, packed16 = _get_composite(
+            r_pad, G, r, cfg.indel_start, cfg.indel_extend, cfg.inf,
+            max_n, cfg.max_l, self.k_cont, self.interpret)
+        dp_bail, tb_bail, slots = run(
+            put(ref8), put(seq8), put(sd8), put(p0c), put(p0r), put(s0c),
+            put(s0r), put(p1c), put(p1r), put(s1c), put(s1r), put(maxb),
+            put(self._sub), put(scal), put(self.cont))
         return (dp_bail, tb_bail, slots, int(maxb[0, 0]), packed16)
 
     def _collect_group(self, group: Sequence[Window], handles):

@@ -27,7 +27,15 @@ def expand_cigar(cigar: str) -> str:
 
 def collapse_cigar(extended: Iterable[str], return_groups: bool = False):
     """'DMMMII' -> '1D3M2I' (reference: src/cig.pyx:13-38)."""
-    groups = [(len(list(g)), op) for op, g in itertools.groupby(extended)]
+    if isinstance(extended, str) and extended:
+        # run-length encode via numpy boundaries (hot path)
+        b = np.frombuffer(extended.encode("ascii"), dtype=np.uint8)
+        cuts = np.concatenate(([0], np.flatnonzero(b[1:] != b[:-1]) + 1,
+                               [len(b)]))
+        groups = [(int(cuts[i + 1] - cuts[i]), extended[cuts[i]])
+                  for i in range(len(cuts) - 1)]
+    else:
+        groups = [(len(list(g)), op) for op, g in itertools.groupby(extended)]
     if return_groups:
         return groups
     return "".join(f"{n}{op}" for n, op in groups)

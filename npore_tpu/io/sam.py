@@ -20,7 +20,7 @@ FLAG_REVERSE = 0x10
 FLAG_SECONDARY = 0x100
 FLAG_SUPPLEMENTARY = 0x800
 
-_MD_RE = re.compile(r"(\d+)|(\^[A-Za-z]+)|([A-Za-z])")
+_MD_RE = re.compile(r"\d+|\^[A-Za-z]+|[A-Za-z]")
 
 
 @dataclass
@@ -124,13 +124,14 @@ class SamRecord:
         qseq = self.query_alignment_sequence
         ref_parts: List[str] = []
         md_ops: List[Tuple[str, object]] = []
-        for m in _MD_RE.finditer(md):
-            if m.group(1) is not None:
-                md_ops.append(("=", int(m.group(1))))
-            elif m.group(2) is not None:
-                md_ops.append(("D", m.group(2)[1:]))
+        for tok in _MD_RE.findall(md):
+            c = tok[0]
+            if c == "^":
+                md_ops.append(("D", tok[1:]))
+            elif c.isdigit():
+                md_ops.append(("=", int(tok)))
             else:
-                md_ops.append(("X", m.group(3)))
+                md_ops.append(("X", tok))
 
         # walk CIGAR; M/=/X consume MD match-counts or mismatch letters,
         # D consumes MD deletion strings, I/S consume only the query.
