@@ -71,7 +71,7 @@ class PallasEngine:
     """
 
     def __init__(self, sub_scores: np.ndarray, np_scores: np.ndarray,
-                 cfg: AlignConfig = AlignConfig(), k_cont: int = 8,
+                 cfg: AlignConfig = AlignConfig(), k_cont: int = 14,
                  interpret: Optional[bool] = None,
                  devices: Optional[list] = None, g_call: int = G_CALL):
         import jax

@@ -39,8 +39,15 @@ def calc_confusion_matrices_range(bam, ref_str: str, contig: str, start: int,
     inss = np.zeros(max_l + 1, dtype=np.int64)
     dels = np.zeros(max_l + 1, dtype=np.int64)
 
+    # +1 lookahead column; pad a zero row at the contig end so the
+    # pos+1 probes below stay in bounds (the reference compiles with
+    # boundscheck(False) and silently reads past the slice there;
+    # src/bam.pyx:381-386)
     np_info = get_np_info_vec(
         bases_to_int(ref_str[start:end + 1]), max_n, max_l)
+    if len(np_info) < end - start + 1:
+        np_info = np.concatenate(
+            [np_info, np.zeros((1, 2, max_n), np_info.dtype)])
     ref_ints = bases_to_int(ref_str[start:end])
 
     for abs_pos, reads in pileup_columns(bam, contig, start, end, min_bq):

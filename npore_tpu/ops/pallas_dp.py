@@ -274,7 +274,7 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                 cand_s = matv_src + ct[:, qs(0, ni), :]
                 k_c = lenr_src // n + 1
                 cont_val = bigf
-                for kk in range(2, KK + 1):
+                for kk in range(1, KK + 1):
                     cont_val = jnp.where(k_c == kk,
                                          ct[:, qs(0, ni) + kk - 1, :],
                                          cont_val)
@@ -322,7 +322,7 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                 cand_s2 = matv_src2 + roll(ct[:, qs(1, ni), :], n)
                 k_c2 = shrr_src // n + 1
                 cont_val2 = bigf
-                for kk in range(2, KK + 1):
+                for kk in range(1, KK + 1):
                     cont_val2 = jnp.where(
                         k_c2 == kk, roll(ct[:, qs(1, ni) + kk - 1, :], n),
                         cont_val2)

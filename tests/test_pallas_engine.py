@@ -195,3 +195,29 @@ def test_pallas_synthetic_reads(score_matrices):
         want = golden_align(it.ref, it.seq, it.cigar, sub_scores, np_scores,
                             cfg)
         assert g == want
+
+
+def test_pallas_mixed_period_chain(score_matrices):
+    """Regression (fuzz seed 7, case 113): mixed-period continuation chains
+    (a run started by one n extended by another) can present k_c == 1; the
+    k-select must cover it via the start plane or the candidate silently
+    vanishes (reference reads np_score(n, l, 1) there)."""
+    sub_scores, np_scores, _, _ = score_matrices
+    ref = ("CACCGTATGATGCTCCTGACCGACCCGGCAGCGCACACTATTCTAATACCCGTTCCCGTT"
+           "CCCGTTCCCGTTCCCGTTCCCGTTCCCGTTCCCGTTACAAGCCAGAACCCTATCCTGGC"
+           "TATAGATATATCGATACG")
+    seq = ("AAACCGTATGATGCACCTGACCGCGCCCGACAGCGCACACTATTCTAATACACGTTCCCGA"
+           "TCCCGTTTCCCGTTTCCCGTTCCCGTTCCCGTTCGTCGTTGCAAGCCCGAACCCATCCTGG"
+           "CATGTCTTTATCGATACG")
+    # exact generating cigar is immaterial for the regression; use a plain
+    # banded diagonal anchor
+    n = min(len(ref), len(seq))
+    cig = "=" * n + ("D" * (len(ref) - n) if len(ref) > n
+                     else "I" * (len(seq) - n))
+    eng = PallasEngine(sub_scores, np_scores, AlignConfig(), interpret=True)
+    items = [AlignItem(bases_to_int(ref), bases_to_int(seq), cig)]
+    got = eng.align_batch(items)
+    want = golden_align(items[0].ref, items[0].seq, items[0].cigar,
+                        sub_scores, np_scores, eng.cfg)
+    assert eng.bail_count == 0
+    assert got[0] == want
