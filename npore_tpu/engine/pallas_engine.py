@@ -128,13 +128,18 @@ class PallasEngine:
                     bailed_alns.add(w.key[0])
                 chunk_cigars[w.key] = cig
 
-        # golden fallback for bailed alignments (rare: k overflow etc.)
+        # golden fallback for bailed alignments (rare: k overflow etc.);
+        # prefers the native C++ port (bit-exact, ~14x the python spec)
         for i in sorted(bailed_alns):
             self.bail_count += 1
-            from ..golden.align import align as golden_align
             it = items[i]
-            full = golden_align(it.ref, it.seq, it.cigar, self.sub_scores,
-                                self.np_scores, cfg)
+            from ..native import golden_align_native
+            full = golden_align_native(it.ref, it.seq, it.cigar,
+                                       self.sub_scores, self.np_scores, cfg)
+            if full is None:
+                from ..golden.align import align as golden_align
+                full = golden_align(it.ref, it.seq, it.cigar,
+                                    self.sub_scores, self.np_scores, cfg)
             # re-split into this alignment's chunk windows
             ws = build_windows(it.ref, it.seq, it.cigar, cfg, aln_idx=i)
             # golden returns the whole alignment; chunk boundaries are

@@ -21,16 +21,21 @@ _tried = False
 def _build() -> Optional[str]:
     cache = os.environ.get("NPORE_NATIVE_CACHE",
                            os.path.expanduser("~/.cache/npore_native"))
-    os.makedirs(cache, exist_ok=True)
-    src = os.path.join(_HERE, "npinfo.cpp")
+    try:
+        os.makedirs(cache, exist_ok=True)
+    except OSError:
+        return None
+    srcs = [os.path.join(_HERE, "npinfo.cpp"),
+            os.path.join(_HERE, "golden_align.cpp")]
     out = os.path.join(cache, "libnpore_native.so")
     if (os.path.exists(out)
-            and os.path.getmtime(out) >= os.path.getmtime(src)):
+            and all(os.path.getmtime(out) >= os.path.getmtime(s_)
+                    for s_ in srcs)):
         return out
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", out, src],
-            check=True, capture_output=True, timeout=120)
+            ["g++", "-O3", "-shared", "-fPIC", "-o", out] + srcs,
+            check=True, capture_output=True, timeout=180)
         return out
     except Exception:
         return None
@@ -54,6 +59,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_int8),
                     ctypes.POINTER(ctypes.c_int8)]
                 lib.normalize_cigar.restype = ctypes.c_int32
+                lib.golden_align.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                    ctypes.c_int64, ctypes.c_float, ctypes.c_float,
+                    ctypes.c_char_p]
+                lib.golden_align.restype = ctypes.c_int64
                 _lib = lib
             except Exception:
                 _lib = None
@@ -90,3 +105,32 @@ def normalize_cigar_ints(cig: np.ndarray, int_ref: np.ndarray,
         ref8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         seq8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
     return cig
+
+
+def golden_align_native(full_ref: np.ndarray, full_seq: np.ndarray,
+                        cigar: str, sub_scores: np.ndarray,
+                        np_scores: np.ndarray, cfg) -> Optional[str]:
+    """Native banded n-polymer DP, bit-exact vs golden/align.py
+    (reference: src/aln.pyx:379-787). Returns None without a compiler."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cig = cigar.replace("X", "DI").replace("=", "DI").replace("M", "DI")
+    ref8 = np.ascontiguousarray(full_ref, dtype=np.uint8)
+    seq8 = np.ascontiguousarray(full_seq, dtype=np.uint8)
+    cig8 = np.frombuffer(cig.encode("ascii"), dtype=np.uint8)
+    subs = np.ascontiguousarray(sub_scores, dtype=np.float32)
+    nps = np.ascontiguousarray(np_scores, dtype=np.float32)
+    out = ctypes.create_string_buffer(len(cig) + 16)
+    n = lib.golden_align(
+        ref8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(ref8),
+        seq8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(seq8),
+        cig8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        subs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nps.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cfg.max_n, cfg.max_l, cfg.r, cfg.max_b_rows,
+        ctypes.c_float(cfg.indel_start), ctypes.c_float(cfg.indel_extend),
+        out)
+    if n < 0:                 # traceback error: truncated like the reference
+        n = -n - 1
+    return out.raw[:n].decode("ascii")

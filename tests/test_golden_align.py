@@ -99,3 +99,40 @@ def test_chunked_equals_unchunked(score_matrices):
     b = _align_pair(ref, seq, cigar, score_matrices, max_b_rows=64)
     assert seq_len(a) == seq_len(b) == len(seq)
     assert ref_len(a) == ref_len(b) == len(ref)
+
+
+def test_native_golden_parity(score_matrices):
+    """Native C++ golden port == python golden spec on repeat-rich pairs."""
+    import numpy as np
+    from npore_tpu.config import AlignConfig
+    from npore_tpu.constants import bases_to_int
+    from npore_tpu.native import get_lib, golden_align_native
+
+    if get_lib() is None:
+        import pytest
+        pytest.skip("no compiler for the native library")
+    sub_scores, np_scores, _, _ = score_matrices
+    cfg = AlignConfig()
+    rng = np.random.default_rng(4)
+    for _ in range(6):
+        n = int(rng.integers(60, 300))
+        unit = "".join("ACGT"[i] for i in rng.integers(0, 4,
+                                                       rng.integers(1, 5)))
+        ref = (unit * 40)[:n // 2] + "".join(
+            "ACGT"[i] for i in rng.integers(0, 4, n - n // 2))
+        seq, cig = [], []
+        for ch in ref:
+            u = rng.random()
+            if u < 0.05:
+                cig.append("D")
+                continue
+            if u < 0.10:
+                seq.append("ACGT"[rng.integers(0, 4)])
+                cig.append("I")
+            seq.append(ch)
+            cig.append("=")
+        iref, iseq = bases_to_int(ref), bases_to_int("".join(seq))
+        c = "".join(cig)
+        nat = golden_align_native(iref, iseq, c, sub_scores, np_scores, cfg)
+        py = align(iref, iseq, c, sub_scores, np_scores, cfg)
+        assert nat == py
