@@ -12,35 +12,35 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..config import AlignConfig
-from ..ops.pallas_dp import (BLK, LANES, RQ, TBLK, W, build_cont_lanes,
-                             get_dp_call, get_tb_call)
+from ..ops.pallas_dp import (BLK, KMAXN, LANES, RQ, TBLK, W,
+                             build_cont_cols, get_dp_call, get_tb_call)
+
+# interpret mode (CPU tests) uses modest k coverage: the unrolled selects
+# dominate interpreter time and the bail fallback keeps outputs exact
+KMAXN_INTERPRET = (10, 8, 6, 5, 4, 3)
 from .windows import Window, build_windows
 
 G_CALL = 8                      # programs per device call (G_CALL*W windows)
 _OPCH = np.frombuffer(b"=XID", dtype=np.uint8)
-import functools as _functools
-
-
-@_functools.lru_cache(maxsize=None)
-def _get_composite(r_pad: int, G: int, r: int, indel_start: float,
-                   indel_extend: float, inf: float, max_n: int, max_l: int,
-                   k_cont: int, interpret: bool):
+def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
+                    indel_extend: float, inf: float, max_n: int, max_l: int,
+                    interpret: bool, cont_cols, kmaxn):
     """One jitted prepass+DP+TB chain: a single dispatch per group keeps
     the ~25ms-latency tunnel from being paid three times."""
     import jax
 
-    from .prepass import get_prepass
-    prepass = get_prepass(r_pad, G, W, max_n, max_l)
+    from .prepass import make_prepass
+    prepass = make_prepass(r_pad, G, W, max_n, max_l, cont_cols, kmaxn)
     dp = get_dp_call(r_pad, G, r, indel_start, indel_extend, inf, max_n,
-                     k_cont, interpret)
+                     interpret, kmaxn)
     tb = get_tb_call(r_pad, G, interpret)
     packed16 = r_pad * 4 + 4 < (1 << 16)
 
-    def run(ref8, seq8, sd8, p0c, p0r, s0c, s0r, p1c, p1r, s1c, s1r,
-            maxb, sub, scal, cont):
-        linr, lins, steps = prepass(ref8, seq8, sd8)
-        dp_bail, packed = dp(p0c, p0r, s0c, s0r, maxb, sub, scal, cont,
-                             steps, linr, lins)
+    def run(ref8, seq8, sd8, p0, p0c, p0r, s0c, s0r, p1c, p1r, s1c, s1r,
+            maxb, sub, scal):
+        linr, lins, steps, cts = prepass(ref8, seq8, sd8, p0)
+        dp_bail, packed = dp(p0c, p0r, s0c, s0r, maxb, sub, scal,
+                             steps, linr, lins, cts)
         tb_bail, slots = tb(p1c, p1r, s1c, s1r, maxb, scal, linr, lins,
                             packed)
         if packed16:
@@ -73,7 +73,8 @@ class PallasEngine:
     def __init__(self, sub_scores: np.ndarray, np_scores: np.ndarray,
                  cfg: AlignConfig = AlignConfig(), k_cont: int = 14,
                  interpret: Optional[bool] = None,
-                 devices: Optional[list] = None, g_call: int = G_CALL):
+                 devices: Optional[list] = None, g_call: int = G_CALL,
+                 kmaxn: Optional[tuple] = None):
         import jax
         self.cfg = cfg
         self.k_cont = k_cont
@@ -87,7 +88,14 @@ class PallasEngine:
         self._rr = 0
         self.sub_scores = sub_scores.astype(np.float32)
         self.np_scores = np_scores
-        self.cont = build_cont_lanes(np_scores, cfg.max_n, cfg.max_l, k_cont)
+        if kmaxn is None:
+            kmaxn = KMAXN_INTERPRET if self.interpret else KMAXN
+        self.kmaxn = tuple(kmaxn)
+        self.cont_cols = tuple(tuple(t for t in row)
+                               for row in build_cont_cols(
+                                   np_scores, cfg.max_n, cfg.max_l,
+                                   self.kmaxn))
+        self._composites = {}
         sub_pad = np.zeros((1, 32), np.float32)
         sub_pad[0, :25] = self.sub_scores.reshape(-1)
         self._sub = sub_pad
@@ -184,6 +192,7 @@ class PallasEngine:
         seq8 = np.zeros((B, r_pad), np.int8)
         sd8 = np.zeros((G, W, r_pad), np.int8)
         scal = np.zeros((G, W, 8), np.int32)
+        p0blk = np.zeros((B, nblk), np.int32)
         p0c = np.zeros((G, W, nblk), np.int32)
         p0r = np.zeros((G, W, nblk), np.int32)
         s0c = np.full((G, W, nblk), 0, np.int32)
@@ -214,6 +223,7 @@ class PallasEngine:
 
             last = R_w - 1
             T0s = np.minimum(blk_T0, last)
+            p0blk[j] = dels[T0s] - r - 7
             idx = dels[T0s] - r - 7 + PADL
             p0c[g, wl] = idx // LANES
             p0r[g, wl] = idx % LANES
@@ -229,13 +239,17 @@ class PallasEngine:
         maxb[:, 0] = ((max_rows + RQ - 1) // RQ) * RQ - 1
         maxb[:, 0] = np.minimum(maxb[:, 0], r_pad - 1)
 
-        run, packed16 = _get_composite(
-            r_pad, G, r, cfg.indel_start, cfg.indel_extend, cfg.inf,
-            max_n, cfg.max_l, self.k_cont, self.interpret)
+        key = r_pad
+        if key not in self._composites:
+            self._composites[key] = _make_composite(
+                r_pad, G, r, cfg.indel_start, cfg.indel_extend, cfg.inf,
+                max_n, cfg.max_l, self.interpret, self.cont_cols,
+                self.kmaxn)
+        run, packed16 = self._composites[key]
         dp_bail, tb_bail, slots = run(
-            put(ref8), put(seq8), put(sd8), put(p0c), put(p0r), put(s0c),
-            put(s0r), put(p1c), put(p1r), put(s1c), put(s1r), put(maxb),
-            put(self._sub), put(scal), put(self.cont))
+            put(ref8), put(seq8), put(sd8), put(p0blk), put(p0c), put(p0r),
+            put(s0c), put(s0r), put(p1c), put(p1r), put(s1c), put(s1r),
+            put(maxb), put(self._sub), put(scal))
         return (dp_bail, tb_bail, slots, int(maxb[0, 0]), packed16)
 
     def _collect_group(self, group: Sequence[Window], handles):

@@ -1,23 +1,42 @@
-"""XLA prepass: build the Pallas engine's linear tables on device.
+"""XLA prepass: build the Pallas engine's linear tables and score tiles
+on device.
 
-Takes raw int8 window sequences and emits the (B, NL, PB, 128) tiled
-linear tables (bases + n-polymer L/LZ planes, ref side position-linear,
-seq side reversed) plus the per-block steps tiles -- everything the DP/TB
-kernels DMA. Moves ~90% of the per-group H2D volume (the n-polymer
-planes) onto the device, where np_info runs as segmented scans
-(ops/npinfo_device.py).
+From raw int8 window sequences this emits:
+  * the (B, NL, PB, 128) tiled linear tables (bases + n-polymer L/LZ
+    planes; ref side position-linear, seq side reversed), and
+  * the (B, nblk, QF, 128) per-block *score tiles*: np-score start /
+    continuation / SAT / LB planes for every period n with full-k coverage
+    (ops/pallas_dp.KMAXN), already gathered into each block's
+    lane-aligned layout so the DP kernel only DMAs them (no in-kernel
+    gathers or rolls).
+
+np_info runs as segmented scans (ops/npinfo_device.py); moving all of
+this onto the device keeps per-group H2D under ~1MB across the
+~25ms-latency tunnel.
 """
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
-from ..ops.pallas_dp import BLK, LANES
+from ..ops.pallas_dp import BLK, KMAXN, LANES
 
 
-@functools.lru_cache(maxsize=None)
-def get_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int):
+def ct_layout(max_n: int, kmaxn=KMAXN):
+    """Per-(side, n) plane offsets in the score tiles; QF total planes."""
+    offs = []
+    q = 0
+    for side in range(2):
+        row = []
+        for ni in range(max_n):
+            row.append(q)
+            q += kmaxn[ni] + 2          # k=1..K, SAT, LB
+        offs.append(row)
+    return offs, q
+
+
+def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
+                 cont_cols, kmaxn=KMAXN):
+    """cont_cols: build_cont_cols() output (numpy; embedded as constants)."""
     import jax
     import jax.numpy as jnp
     from ..ops.npinfo_device import np_info_device
@@ -28,36 +47,55 @@ def get_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int):
     NL = 1 + 2 * max_n
     nblk = r_pad // BLK
     B = G * W
+    offs, QF = ct_layout(max_n, kmaxn)
 
-    def prepass(ref8, seq8, sd8):
+    def prepass(ref8, seq8, sd8, p0):
         # ref8/seq8: (B, r_pad) int8 zero-padded windows
-        # sd8: (G, W, r_pad) int8 dels-steps
+        # sd8: (G, W, r_pad) int8 dels-steps; p0: (B, nblk) int32 block
+        # coverage starts (ref positions, may be negative)
         ref = ref8.astype(jnp.int32)
         seq = seq8.astype(jnp.int32)
 
         def side(x):
             L, LZ = np_info_device(x, max_n, max_l)
-            planes = jnp.concatenate(
+            return jnp.concatenate(
                 [x[:, None, :], jnp.minimum(L, 127), LZ], axis=1)
-            return planes                       # (B, NL, r_pad)
 
         pr = side(ref)
         ps = side(seq)
         base = jnp.zeros((B, NL, P2), jnp.int32)
         base = base.at[:, 1 + max_n:, :].set(1)          # LZ default 1
-        linr = base.at[:, :, PADL:PADL + r_pad].set(pr)
-        lins = base.at[:, :, A_OFF + 1 - r_pad:A_OFF + 1].set(
+        linr_lin = base.at[:, :, PADL:PADL + r_pad].set(pr)
+        lins_lin = base.at[:, :, A_OFF + 1 - r_pad:A_OFF + 1].set(
             jnp.flip(ps, axis=2))
-        linr = linr.reshape(B, NL, P2 // LANES, LANES)
-        lins = lins.reshape(B, NL, P2 // LANES, LANES)
+        linr = linr_lin.reshape(B, NL, P2 // LANES, LANES)
+        lins = lins_lin.reshape(B, NL, P2 // LANES, LANES)
+
+        # ---- score tiles: lookup by l per (side, n), full-k columns ----
+        parts = []
+        for s in range(2):
+            for ni in range(max_n):
+                l_n = linr_lin[:, 1 + ni, :]             # (B, P2) clamped L
+                tab = jnp.asarray(cont_cols[s][ni])       # (101, K+2)
+                parts.append(jnp.take(tab, l_n, axis=0))  # (B, P2, K+2)
+        ctp = jnp.concatenate(parts, axis=2)              # (B, P2, QF)
+
+        # per-block lane-aligned position index:
+        # p(b, j) = p0 + ((j - p0) mod 128), array col = p + PADL
+        lanes = np.arange(LANES, dtype=np.int32)[None, None, :]
+        p0e = p0[:, :, None]
+        pidx = PADL + p0e + ((lanes - p0e) % LANES)       # (B, nblk, 128)
+        g = jnp.take_along_axis(
+            ctp, pidx.reshape(B, nblk * LANES, 1), axis=1)
+        cts = g.reshape(B, nblk, LANES, QF).swapaxes(2, 3)  # (B,nblk,QF,128)
 
         sd = jnp.concatenate(
             [sd8.astype(jnp.int32),
              jnp.zeros((G, W, 128), jnp.int32)], axis=2)
         idx = (np.arange(nblk)[:, None] * BLK
-               + np.arange(LANES)[None, :])              # (nblk, 128)
-        steps = jnp.take(sd, jnp.asarray(idx), axis=2)   # (G, W, nblk, 128)
-        steps = jnp.swapaxes(steps, 1, 2)                # (G, nblk, W, 128)
-        return linr, lins, steps
+               + np.arange(LANES)[None, :])
+        steps = jnp.take(sd, jnp.asarray(idx), axis=2)
+        steps = jnp.swapaxes(steps, 1, 2)                 # (G, nblk, W, 128)
+        return linr, lins, steps, cts
 
     return jax.jit(prepass)

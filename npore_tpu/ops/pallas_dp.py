@@ -45,6 +45,42 @@ RQ = 384          # R_pad quantum
 
 OP_EQ, OP_X, OP_I, OP_D = 0, 1, 2, 3
 
+# per-n continuation coverage: k = run//n + 1 is bounded by band residence
+# (run <= 2r+1 + n + slack), so full-k planes make in-band continuations
+# bail-free; SAT/LB cover the unbounded first-row pseudo-run tail.
+KMAXN = (70, 37, 25, 20, 17, 15)
+
+
+def build_cont_cols(np_scores: np.ndarray, max_n: int = 6,
+                    max_l: int = 100, kmaxn=KMAXN):
+    """Per-(side, n) lookup tables for the prepass: T[side][ni] has shape
+    (101, KMAXN[ni]+2) with columns [np_score(n, l, +/-k) for k=1..KMAXN,
+    SAT, LB]; row index = clamped ref n-polymer length l. Exact np_score
+    semantics incl. the max_l-as-max_n clamp (src/aln.pyx:255-274)."""
+    full = build_cont_lanes(np_scores, max_n, max_l, 126)  # k=1..127 exact
+    out = []
+    for side in range(2):
+        row = []
+        for ni in range(max_n):
+            K = kmaxn[ni]
+            t = np.empty((101, K + 2), np.float32)
+            for k in range(1, K + 1):
+                t[:, k - 1] = full[side, ni, k - 1, :101]
+            # SAT: saturated value (ins: call clamps; del: invalid 100)
+            t[:, K] = full[side, ni, 127, :101]
+            # LB: min over the gap (KMAXN+1 .. saturation)
+            ls = np.arange(101)
+            lb = np.full(101, 100.0, np.float32)
+            for l in range(101):
+                sat_k = max(99 - l, 0) if side == 0 else min(l, 127)
+                gap = [full[side, ni, k - 1, l]
+                       for k in range(K + 1, sat_k + 1)]
+                lb[l] = np.float32(min(gap)) if gap else np.float32(100)
+            t[:, K + 1] = lb
+            row.append(t)
+        out.append(row)
+    return out
+
 
 def build_cont_lanes(np_scores: np.ndarray, max_n: int = 6, max_l: int = 100,
                      k_cont: int = 8) -> np.ndarray:
@@ -95,13 +131,14 @@ def build_cont_lanes(np_scores: np.ndarray, max_n: int = 6, max_l: int = 100,
 
 @functools.lru_cache(maxsize=None)
 def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
-                indel_extend: float, inf: float, max_n: int, k_cont: int,
-                interpret: bool):
+                indel_extend: float, inf: float, max_n: int,
+                interpret: bool, kmaxn=KMAXN):
     """Build the jittable DP pallas_call for (R_pad, G)-shaped batches."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    from ..engine.prepass import ct_layout
 
     assert R_pad % RQ == 0
     INF = np.float32(inf)
@@ -109,8 +146,7 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
     iext = np.float32(indel_extend)
     nblk = R_pad // BLK
     NL = 1 + 2 * max_n
-    KK = k_cont + 1
-    KS = k_cont + 3   # planes per (side, n): K selects + SAT + LB
+    OFFS, QF = ct_layout(max_n, kmaxn)
     F32, I32 = jnp.float32, jnp.int32
     big = np.float32(np.inf)
 
@@ -119,7 +155,7 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
         return v if s == 0 else pltpu.roll(v, shift=s, axis=1)
 
     def dp_kernel(p0c, p0r, s0c, s0r, maxb_s, sub_s,
-                  scal_v, cont_v, steps, linr, lins,
+                  scal_v, steps, linr, lins, cts,
                   bail_o, packed_o,
                   lin2_b, seq2_b, lin_b, seq_b, ct, steps_b, packed_b, zbuf,
                   sems):
@@ -151,10 +187,18 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                 dmas.append((d1, d2))
             d3 = pltpu.make_async_copy(steps.at[g, b], steps_b, sems.at[2])
             d3.start()
+            cdmas = []
+            for w in range(W):
+                d4 = pltpu.make_async_copy(
+                    cts.at[g * W + w, b], ct.at[w], sems.at[3])
+                d4.start()
+                cdmas.append(d4)
             for d1, d2 in dmas:
                 d1.wait()
                 d2.wait()
             d3.wait()
+            for d4 in cdmas:
+                d4.wait()
             for w in range(W):
                 lin_b[w] = jnp.where(lane1 >= p0r[w, b],
                                      lin2_b[w, :, 0, :], lin2_b[w, :, 1, :])
@@ -162,17 +206,9 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                                      seq2_b[w, :, 0, :], seq2_b[w, :, 1, :])
             # seq planes: re-bind from (-a mod 128) to (T0 - a mod 128)
             seq_b[:] = pltpu.roll(seq_b[:], shift=(b * BLK) % LANES, axis=2)
-            for ni in range(max_n):
-                lref = jnp.clip(lin_b[:, 1 + ni, :], 0, LANES - 1)
-                for side in range(2):
-                    for kk in range(KS):
-                        tab = jnp.broadcast_to(
-                            cont_v[side, ni, kk][None, :], (W, LANES))
-                        ct[:, (side * max_n + ni) * KS + kk, :] = (
-                            jnp.take_along_axis(tab, lref, axis=1))
 
         def qs(side, ni):
-            return (side * max_n + ni) * KS
+            return OFFS[side][ni]
 
         def row_step(t, i, carry):
             (mv, mt, mr, lr, lav, lac, laa, sr, sav, sac, saa,
@@ -273,18 +309,19 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                 start_case = lzseq_src == 1
                 cand_s = matv_src + ct[:, qs(0, ni), :]
                 k_c = lenr_src // n + 1
+                KN = kmaxn[ni]
                 cont_val = bigf
-                for kk in range(1, KK + 1):
+                for kk in range(1, KN + 1):
                     cont_val = jnp.where(k_c == kk,
                                          ct[:, qs(0, ni) + kk - 1, :],
                                          cont_val)
                 cont_ok = ((lenr_src > 0) & (lenaa_src >= 0)
                            & (lenac_src < 2 * r))
-                sat = ct[:, qs(0, ni) + KK, :]
-                lbv = ct[:, qs(0, ni) + KK + 1, :]
+                sat = ct[:, qs(0, ni) + KN, :]
+                lbv = ct[:, qs(0, ni) + KN + 1, :]
                 is_sat = k_c >= 99 - l_n
-                gap = (k_c > KK) & ~is_sat
-                cont_val = jnp.where(k_c > KK,
+                gap = (k_c > KN) & ~is_sat
+                cont_val = jnp.where(k_c > KN,
                                      jnp.where(is_sat, sat, bigf), cont_val)
                 cand = jnp.where(start_case, cand_s,
                                  jnp.where(cont_ok, cont_val + lenav_src, bigf))
@@ -322,17 +359,17 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                 cand_s2 = matv_src2 + roll(ct[:, qs(1, ni), :], n)
                 k_c2 = shrr_src // n + 1
                 cont_val2 = bigf
-                for kk in range(1, KK + 1):
+                for kk in range(1, KN + 1):
                     cont_val2 = jnp.where(
                         k_c2 == kk, roll(ct[:, qs(1, ni) + kk - 1, :], n),
                         cont_val2)
                 cont_ok2 = ((shrr_src > 0) & (shraa_src >= 0)
                             & (shrac_src > 0))
-                sat2 = roll(ct[:, qs(1, ni) + KK, :], n)
-                lbv2 = roll(ct[:, qs(1, ni) + KK + 1, :], n)
+                sat2 = roll(ct[:, qs(1, ni) + KN, :], n)
+                lbv2 = roll(ct[:, qs(1, ni) + KN + 1, :], n)
                 is_sat2 = k_c2 > l_n2
-                gap2 = (k_c2 > KK) & ~is_sat2
-                cont_val2 = jnp.where(k_c2 > KK,
+                gap2 = (k_c2 > KN) & ~is_sat2
+                cont_val2 = jnp.where(k_c2 > KN,
                                       jnp.where(is_sat2, sat2, bigf),
                                       cont_val2)
                 cand2 = jnp.where(start2, cand_s2,
@@ -480,10 +517,10 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # sub (1, 32)
             pl.BlockSpec((None, W, 8), lambda gg: (gg, 0, 0),
                          memory_space=pltpu.VMEM),   # scal
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # cont
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # steps
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # linr
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # lins
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # cts
         ],
         out_specs=[
             pl.BlockSpec((None, W, 8), lambda gg: (gg, 0, 0),
@@ -500,7 +537,7 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
             pltpu.VMEM((W, NL, 2, LANES), np.int32),   # seq2_b
             pltpu.VMEM((W, NL, LANES), np.int32),
             pltpu.VMEM((W, NL, LANES), np.int32),
-            pltpu.VMEM((W, 2 * max_n * KS, LANES), np.float32),
+            pltpu.VMEM((W, QF, LANES), np.float32),
             pltpu.VMEM((W, LANES), np.int32),
             pltpu.VMEM((BLK, W, LANES), np.int32),
             pltpu.VMEM((W, LANES), np.int32),

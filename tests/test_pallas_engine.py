@@ -214,7 +214,10 @@ def test_pallas_mixed_period_chain(score_matrices):
     n = min(len(ref), len(seq))
     cig = "=" * n + ("D" * (len(ref) - n) if len(ref) > n
                      else "I" * (len(seq) - n))
-    eng = PallasEngine(sub_scores, np_scores, AlignConfig(), interpret=True)
+    # enough k coverage that the case cannot bail: the assertion must
+    # catch a silent k_c==1 miss, not be masked by the exact fallback
+    eng = PallasEngine(sub_scores, np_scores, AlignConfig(), interpret=True,
+                       kmaxn=(48, 26, 18, 14, 12, 10))
     items = [AlignItem(bases_to_int(ref), bases_to_int(seq), cig)]
     got = eng.align_batch(items)
     want = golden_align(items[0].ref, items[0].seq, items[0].cigar,
