@@ -49,6 +49,7 @@ OP_EQ, OP_X, OP_I, OP_D = 0, 1, 2, 3
 # (run <= 2r+1 + n + slack), so full-k planes make in-band continuations
 # bail-free; SAT/LB cover the unbounded first-row pseudo-run tail.
 KMAXN = (70, 37, 25, 20, 17, 15)
+KSHORT = 8        # common-path ladder depth of the two-tier k-select
 
 
 def build_cont_cols(np_scores: np.ndarray, max_n: int = 6,
@@ -272,124 +273,161 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
             del_r = jnp.where(first_col, arow, del_r)
 
             # --- LEN / SHR (gather form of src/aln.pyx:601-667) ---
-            len_v = (arow + acol).astype(F32) * INF
-            len_r, len_av, len_ac, len_aa = zi, zf, zi, zi
-            shr_v = (arow + acol).astype(F32) * INF
-            shr_r, shr_av, shr_ac, shr_aa = zi, zf, zi, zi
-            len_is, shr_is = zi == 1, zi == 1   # whether LEN/SHR state set
+            # Two-tier k-select: the continuation score lookup is a select
+            # ladder over k = run//n + 1. Ladders to full KMAXN (k<=70) are
+            # bail-free but cost ~370 select pairs per row; runs needing
+            # k > KSHORT are rare (they require a long repeat actually being
+            # followed), so rows are routed by a scalar lax.cond: the common
+            # path unrolls only k<=KSHORT, and only rows whose carried runs
+            # prove a k in (KSHORT, KMAXN] pay the full ladder. Lanes with
+            # k > KMAXN take the SAT/LB path in either tier, so tier choice
+            # never changes results (src/aln.pyx:622-633, 656-667).
+            def lenshr(kuse):
+                len_v = (arow + acol).astype(F32) * INF
+                len_r, len_av, len_ac, len_aa = zi, zf, zi, zi
+                shr_v = (arow + acol).astype(F32) * INF
+                shr_r, shr_av, shr_ac, shr_aa = zi, zf, zi, zi
+                bail_add = zi[:, 0:1]
 
-            for n in range(max_n, 0, -1):
-                ni = n - 1
-                dels_n = dh[n - 1]
-                # ---- LEN source (arow-n, acol): same lane, row t-n ----
-                matv_src = mv[n - 1]
-                lenr_src = lr[n - 1]
-                lenav_src = lav[n - 1]
-                lenac_src = lac[n - 1]
-                lenaa_src = laa[n - 1]
-                src_bcol = acol - dels_n + r
-                src_ok = ((arow - n >= 0) & (src_bcol >= 1)
-                          & (src_bcol <= 2 * r - 1) & (t >= n))
+                for n in range(max_n, 0, -1):
+                    ni = n - 1
+                    KN = kmaxn[ni]          # fixed table layout offsets
+                    KU = kuse[ni]           # ladder depth for this tier
+                    dels_n = dh[n - 1]
+                    # ---- LEN source (arow-n, acol): same lane, row t-n ----
+                    matv_src = mv[n - 1]
+                    lenr_src = lr[n - 1]
+                    lenav_src = lav[n - 1]
+                    lenac_src = lac[n - 1]
+                    lenaa_src = laa[n - 1]
+                    src_bcol = acol - dels_n + r
+                    src_ok = ((arow - n >= 0) & (src_bcol >= 1)
+                              & (src_bcol <= 2 * r - 1) & (t >= n))
 
-                l_n = jnp.where(ref_zero, 0, LREF(0, ni))
-                lz_n = jnp.where(ref_zero, 1, LZREF(0, ni))
-                sg = arow - n >= seq_guard
-                lseq_src = jnp.where(sg, 0, LSEQ(-n, ni))
-                lzseq_src = jnp.where(sg, 1, LZSEQ(-n, ni))
+                    l_n = jnp.where(ref_zero, 0, LREF(0, ni))
+                    lz_n = jnp.where(ref_zero, 1, LZREF(0, ni))
+                    sg = arow - n >= seq_guard
+                    lseq_src = jnp.where(sg, 0, LSEQ(-n, ni))
+                    lzseq_src = jnp.where(sg, 1, LZSEQ(-n, ni))
 
-                lenA = jnp.clip(n_ins + 1 - (arow - n), 0, n)
-                lenB = jnp.clip(n_del + 1 - acol, 0, n)
-                mok = lenA == lenB
-                for k in range(n):
-                    mok = mok & ((k >= lenA) | (SEQ(1 - n + k) == REF(1 + k)))
+                    lenA = jnp.clip(n_ins + 1 - (arow - n), 0, n)
+                    lenB = jnp.clip(n_del + 1 - acol, 0, n)
+                    mok = lenA == lenB
+                    for k in range(n):
+                        mok = mok & ((k >= lenA) | (SEQ(1 - n + k) == REF(1 + k)))
 
-                valid = (src_ok & (l_n > 0) & (lseq_src > 0) & (lz_n == 1)
-                         & mok & (bcol > 0))
+                    valid = (src_ok & (l_n > 0) & (lseq_src > 0) & (lz_n == 1)
+                             & mok & (bcol > 0))
 
-                start_case = lzseq_src == 1
-                cand_s = matv_src + ct[:, qs(0, ni), :]
-                k_c = lenr_src // n + 1
-                KN = kmaxn[ni]
-                cont_val = bigf
-                for kk in range(1, KN + 1):
-                    cont_val = jnp.where(k_c == kk,
-                                         ct[:, qs(0, ni) + kk - 1, :],
-                                         cont_val)
-                cont_ok = ((lenr_src > 0) & (lenaa_src >= 0)
-                           & (lenac_src < 2 * r))
-                sat = ct[:, qs(0, ni) + KN, :]
-                lbv = ct[:, qs(0, ni) + KN + 1, :]
-                is_sat = k_c >= 99 - l_n
-                gap = (k_c > KN) & ~is_sat
-                cont_val = jnp.where(k_c > KN,
-                                     jnp.where(is_sat, sat, bigf), cont_val)
-                cand = jnp.where(start_case, cand_s,
-                                 jnp.where(cont_ok, cont_val + lenav_src, bigf))
-                ovf = ((~start_case) & cont_ok & valid & in_range & gap
-                       & (lenav_src + lbv < len_v))
-                bail = bail | jnp.max(ovf.astype(I32), axis=1, keepdims=True)
-                new_r = jnp.where(start_case, n, lenr_src + n)
-                new_av = jnp.where(start_case, matv_src, lenav_src)
-                new_ac = jnp.where(start_case, src_bcol, lenac_src)
-                new_aa = jnp.where(start_case, arow - n, lenaa_src)
+                    start_case = lzseq_src == 1
+                    cand_s = matv_src + ct[:, qs(0, ni), :]
+                    k_c = lenr_src // n + 1
+                    cont_val = bigf
+                    for kk in range(1, KU + 1):
+                        cont_val = jnp.where(k_c == kk,
+                                             ct[:, qs(0, ni) + kk - 1, :],
+                                             cont_val)
+                    cont_ok = ((lenr_src > 0) & (lenaa_src >= 0)
+                               & (lenac_src < 2 * r))
+                    sat = ct[:, qs(0, ni) + KN, :]
+                    lbv = ct[:, qs(0, ni) + KN + 1, :]
+                    is_sat = k_c >= 99 - l_n
+                    gap = (k_c > KU) & ~is_sat
+                    cont_val = jnp.where(k_c > KU,
+                                         jnp.where(is_sat, sat, bigf), cont_val)
+                    cand = jnp.where(start_case, cand_s,
+                                     jnp.where(cont_ok, cont_val + lenav_src,
+                                               bigf))
+                    ovf = ((~start_case) & cont_ok & valid & in_range & gap
+                           & (lenav_src + lbv < len_v))
+                    bail_add = bail_add | jnp.max(ovf.astype(I32), axis=1,
+                                                  keepdims=True)
+                    new_r = jnp.where(start_case, n, lenr_src + n)
+                    new_av = jnp.where(start_case, matv_src, lenav_src)
+                    new_ac = jnp.where(start_case, src_bcol, lenac_src)
+                    new_aa = jnp.where(start_case, arow - n, lenaa_src)
 
-                upd = valid & (cand < len_v)
-                len_v = jnp.where(upd, cand, len_v)
-                len_r = jnp.where(upd, new_r, len_r)
-                len_av = jnp.where(upd, new_av, len_av)
-                len_ac = jnp.where(upd, new_ac, len_ac)
-                len_aa = jnp.where(upd, new_aa, len_aa)
-                len_is = len_is | upd
+                    upd = valid & (cand < len_v)
+                    len_v = jnp.where(upd, cand, len_v)
+                    len_r = jnp.where(upd, new_r, len_r)
+                    len_av = jnp.where(upd, new_av, len_av)
+                    len_ac = jnp.where(upd, new_ac, len_ac)
+                    len_aa = jnp.where(upd, new_aa, len_aa)
 
-                # ---- SHR source (arow, acol-n): lane j-n, row t-n ----
-                matv_src2 = roll(mv[n - 1], n)
-                shrr_src = roll(sr[n - 1], n)
-                shrav_src = roll(sav[n - 1], n)
-                shrac_src = roll(sac[n - 1], n)
-                shraa_src = roll(saa[n - 1], n)
-                src_bcol2 = (acol - n) - dels_n + r
-                src_ok2 = ((acol - n >= 0) & (src_bcol2 >= 1)
-                           & (src_bcol2 <= 2 * r - 1) & (t >= n))
-                rz2 = (acol - n) >= ref_guard
-                l_n2 = jnp.where(rz2, 0, LREF(-n, ni))
-                lz_n2 = jnp.where(rz2, 1, LZREF(-n, ni))
-                valid2 = src_ok2 & (l_n2 > 0) & (bcol < 2 * r)
+                    # ---- SHR source (arow, acol-n): lane j-n, row t-n ----
+                    matv_src2 = roll(mv[n - 1], n)
+                    shrr_src = roll(sr[n - 1], n)
+                    shrav_src = roll(sav[n - 1], n)
+                    shrac_src = roll(sac[n - 1], n)
+                    shraa_src = roll(saa[n - 1], n)
+                    src_bcol2 = (acol - n) - dels_n + r
+                    src_ok2 = ((acol - n >= 0) & (src_bcol2 >= 1)
+                               & (src_bcol2 <= 2 * r - 1) & (t >= n))
+                    rz2 = (acol - n) >= ref_guard
+                    l_n2 = jnp.where(rz2, 0, LREF(-n, ni))
+                    lz_n2 = jnp.where(rz2, 1, LZREF(-n, ni))
+                    valid2 = src_ok2 & (l_n2 > 0) & (bcol < 2 * r)
 
-                start2 = lz_n2 == 1
-                cand_s2 = matv_src2 + roll(ct[:, qs(1, ni), :], n)
-                k_c2 = shrr_src // n + 1
-                cont_val2 = bigf
-                for kk in range(1, KN + 1):
-                    cont_val2 = jnp.where(
-                        k_c2 == kk, roll(ct[:, qs(1, ni) + kk - 1, :], n),
-                        cont_val2)
-                cont_ok2 = ((shrr_src > 0) & (shraa_src >= 0)
-                            & (shrac_src > 0))
-                sat2 = roll(ct[:, qs(1, ni) + KN, :], n)
-                lbv2 = roll(ct[:, qs(1, ni) + KN + 1, :], n)
-                is_sat2 = k_c2 > l_n2
-                gap2 = (k_c2 > KN) & ~is_sat2
-                cont_val2 = jnp.where(k_c2 > KN,
-                                      jnp.where(is_sat2, sat2, bigf),
-                                      cont_val2)
-                cand2 = jnp.where(start2, cand_s2,
-                                  jnp.where(cont_ok2, cont_val2 + shrav_src,
-                                            bigf))
-                ovf2 = ((~start2) & cont_ok2 & valid2 & in_range & gap2
-                        & (shrav_src + lbv2 < shr_v))
-                bail = bail | jnp.max(ovf2.astype(I32), axis=1, keepdims=True)
-                new_r2 = jnp.where(start2, n, shrr_src + n)
-                new_av2 = jnp.where(start2, matv_src2, shrav_src)
-                new_ac2 = jnp.where(start2, src_bcol2, shrac_src)
-                new_aa2 = jnp.where(start2, acol - n, shraa_src)
+                    start2 = lz_n2 == 1
+                    cand_s2 = matv_src2 + roll(ct[:, qs(1, ni), :], n)
+                    k_c2 = shrr_src // n + 1
+                    cont_val2 = bigf
+                    for kk in range(1, KU + 1):
+                        cont_val2 = jnp.where(
+                            k_c2 == kk, roll(ct[:, qs(1, ni) + kk - 1, :], n),
+                            cont_val2)
+                    cont_ok2 = ((shrr_src > 0) & (shraa_src >= 0)
+                                & (shrac_src > 0))
+                    sat2 = roll(ct[:, qs(1, ni) + KN, :], n)
+                    lbv2 = roll(ct[:, qs(1, ni) + KN + 1, :], n)
+                    is_sat2 = k_c2 > l_n2
+                    gap2 = (k_c2 > KU) & ~is_sat2
+                    cont_val2 = jnp.where(k_c2 > KU,
+                                          jnp.where(is_sat2, sat2, bigf),
+                                          cont_val2)
+                    cand2 = jnp.where(start2, cand_s2,
+                                      jnp.where(cont_ok2,
+                                                cont_val2 + shrav_src,
+                                                bigf))
+                    ovf2 = ((~start2) & cont_ok2 & valid2 & in_range & gap2
+                            & (shrav_src + lbv2 < shr_v))
+                    bail_add = bail_add | jnp.max(ovf2.astype(I32), axis=1,
+                                                  keepdims=True)
+                    new_r2 = jnp.where(start2, n, shrr_src + n)
+                    new_av2 = jnp.where(start2, matv_src2, shrav_src)
+                    new_ac2 = jnp.where(start2, src_bcol2, shrac_src)
+                    new_aa2 = jnp.where(start2, acol - n, shraa_src)
 
-                upd2 = valid2 & (cand2 < shr_v)
-                shr_v = jnp.where(upd2, cand2, shr_v)
-                shr_r = jnp.where(upd2, new_r2, shr_r)
-                shr_av = jnp.where(upd2, new_av2, shr_av)
-                shr_ac = jnp.where(upd2, new_ac2, shr_ac)
-                shr_aa = jnp.where(upd2, new_aa2, shr_aa)
-                shr_is = shr_is | upd2
+                    upd2 = valid2 & (cand2 < shr_v)
+                    shr_v = jnp.where(upd2, cand2, shr_v)
+                    shr_r = jnp.where(upd2, new_r2, shr_r)
+                    shr_av = jnp.where(upd2, new_av2, shr_av)
+                    shr_ac = jnp.where(upd2, new_ac2, shr_ac)
+                    shr_aa = jnp.where(upd2, new_aa2, shr_aa)
+
+                return (len_v, len_r, len_av, len_ac, len_aa,
+                        shr_v, shr_r, shr_av, shr_ac, shr_aa, bail_add)
+
+            klo = tuple(min(KSHORT, kmaxn[ni]) for ni in range(max_n))
+            if klo != tuple(kmaxn):
+                # a lane needs the full ladder iff some carried run implies
+                # k = run//n + 1 in (KSHORT, KMAXN]; k > KMAXN lanes use the
+                # SAT/LB path in both tiers
+                need = zi == 1
+                for n in range(1, max_n + 1):
+                    ni = n - 1
+                    if kmaxn[ni] > klo[ni]:
+                        for runp in (lr[ni], sr[ni]):
+                            need = need | ((runp >= klo[ni] * n)
+                                           & (runp < kmaxn[ni] * n))
+                res = jax.lax.cond(jnp.any(need),
+                                   lambda: lenshr(kmaxn),
+                                   lambda: lenshr(klo))
+            else:
+                res = lenshr(kmaxn)
+            (len_v, len_r, len_av, len_ac, len_aa,
+             shr_v, shr_r, shr_av, shr_ac, shr_aa, bail_add) = res
+            bail = bail | bail_add
 
             # --- MAT (src/aln.pyx:568-592) ---
             matv_diag = roll(mv[1], 1)
