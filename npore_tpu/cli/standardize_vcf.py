@@ -130,9 +130,9 @@ def main(argv=None) -> int:
     vcf2 = gen_vcf(hap2_data, 2, args.out_prefix)
 
     print("> merging vcfs")
-    out_fn = f"{args.out_prefix}.vcf"
+    out_fn = f"{args.out_prefix}.vcf.gz"
     merge_vcfs(vcf1, vcf2, out_fn, regions)
-    print(f"    wrote {out_fn}")
+    print(f"    wrote {out_fn} (+ .tbi)")
     return 0
 
 

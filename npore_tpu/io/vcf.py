@@ -1,10 +1,9 @@
 """VCF toolbox: records, IO, haplotype split/apply/gen/merge, overlap filter.
 
 Replaces the reference's pysam.VariantFile pipeline (reference: src/vcf.py)
-without pysam/tabix/bgzip: VCF is read/written as (optionally gzipped) text.
-Outputs are plain ``.vcf`` (the environment has no bgzip/tabix; downstream
-indexing is the caller's concern and the reference's ``.vcf.gz`` suffixes
-map to ``.vcf`` here).
+without pysam: VCF text IO plus in-process bgzip/tabix (io/bgzf.py), so
+``.vcf.gz`` outputs ship with ``.tbi`` indexes exactly like the reference's
+subprocess calls produce (src/vcf.py:132-133, 422-424).
 """
 from __future__ import annotations
 
@@ -127,6 +126,11 @@ def parse_vcf_line(line: str) -> VcfRecord:
 
 def write_vcf(path: str, header_lines: Sequence[str],
               records: Iterable[VcfRecord]) -> str:
+    """Write a VCF; ``.gz`` paths get in-process bgzip + a .tbi index
+    (reference: src/vcf.py:132-133, 422-424 shells out to bgzip/tabix)."""
+    if path.endswith(".gz"):
+        from .bgzf import write_bgzip_vcf
+        return write_bgzip_vcf(path, header_lines, records)
     d = os.path.dirname(path)
     if d:
         os.makedirs(d, exist_ok=True)
@@ -234,8 +238,8 @@ def split_vcf(vcf_fn: str, regions: Sequence[Tuple[str, int, int]],
     elif unphased:
         print("\nWARNING: VCF file may be unphased.")
 
-    fn1 = write_vcf(out_pre + "1.vcf", vcf.header_lines, recs1)
-    fn2 = write_vcf(out_pre + "2.vcf", vcf.header_lines, recs2)
+    fn1 = write_vcf(out_pre + "1.vcf.gz", vcf.header_lines, recs1)
+    fn2 = write_vcf(out_pre + "2.vcf.gz", vcf.header_lines, recs2)
     return fn1, fn2
 
 
@@ -382,4 +386,4 @@ def gen_vcf(hap_data: Sequence[Tuple], hap: int, out_pre: str = "") -> str:
                 seq_ptr += il
             else:
                 raise ValueError(f"unrecognized CIGAR operation '{op}'")
-    return write_vcf(f"{out_pre}{hap}.vcf", make_header(contigs), records)
+    return write_vcf(f"{out_pre}{hap}.vcf.gz", make_header(contigs), records)

@@ -14,7 +14,8 @@ def test_standardize_vcf_e2e(tmp_path, data_dir, stats_dir):
                "--out_prefix", pre, "--stats_dir", stats_dir,
                "--engine", "golden"])
     assert rc == 0
-    recs = list(VcfReader(pre + ".vcf"))
+    assert os.path.exists(pre + ".vcf.gz.tbi")
+    recs = list(VcfReader(pre + ".vcf.gz"))
     assert len(recs) >= 4
     keyed = {(r.contig, r.pos + 1, r.alleles): r.sample for r in recs}
     # hom SNP on chr19 is preserved as 1|1
