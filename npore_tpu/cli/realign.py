@@ -151,6 +151,10 @@ def main(argv=None) -> int:
         print(f"    profiler trace written to {prof}")
     for e in realigner.errors:
         print(f"WARNING: {e}")
+    for s in realigner.skipped:
+        print(f"WARNING: {s}")
+    if realigner.skipped:
+        print(f"    {len(realigner.skipped)} reads skipped (malformed)")
     if realigner.bail_count:
         print(f"    {realigner.bail_count} alignments used the golden "
               f"fallback")

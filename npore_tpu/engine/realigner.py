@@ -74,6 +74,7 @@ class Realigner:
         self.sub_scores = sub_scores
         self.np_scores = np_scores
         self.errors: List[str] = []
+        self.skipped: List[str] = []
         self._pallas = None
         if engine == "pallas":
             _enable_compilation_cache()
@@ -182,9 +183,16 @@ class Realigner:
         items = []
         meta = []
         for read in reads:
-            cig = expand_cigar(read.cigar).replace("S", "").replace("H", "")
-            int_ref = bases_to_int(read.get_reference_sequence().upper())
-            int_seq = bases_to_int(read.query_alignment_sequence.upper())
+            try:
+                cig = expand_cigar(read.cigar).replace("S", "").replace("H", "")
+                int_ref = bases_to_int(read.get_reference_sequence().upper())
+                int_seq = bases_to_int(read.query_alignment_sequence.upper())
+            except (ValueError, KeyError, IndexError) as e:
+                # tolerate malformed records (bad MD/CIGAR, unknown codes)
+                # the way the reference's pysam path shrugs off oddities:
+                # skip with a warning instead of aborting the run
+                self.skipped.append(f"read {read.qname} skipped: {e}")
+                continue
             items.append(AlignItem(int_ref, int_seq, cig))
             meta.append((read, int_ref, int_seq))
         new_cigars = self.align_batch(items)

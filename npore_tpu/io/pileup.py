@@ -18,11 +18,15 @@ import numpy as np
 from .cigar import cigar_tuples
 
 
-def _read_events(rec, min_bq: int):
+def _read_events(rec, min_bq: int, ref: Optional[str] = None):
     """Yield (ref_pos, column_token) pairs for one read.
 
     The token already contains start/end markers and any indel suffix, so a
-    column is the concatenation of its reads' tokens.
+    column is the concatenation of its reads' tokens. ``ref`` (the contig
+    string) makes deletion annotations carry the actual deleted reference
+    bases the way ``samtools mpileup -f`` prints them; without it they are
+    'N's — exactly what the reference's no-FASTA invocation produces
+    (src/bam.pyx:302-303 runs mpileup without -f).
     """
     seq = rec.seq
     qual = rec.qual
@@ -57,7 +61,9 @@ def _read_events(rec, min_bq: int):
             # deletion: annotate the previous column, then '*' per position
             if events:
                 p, tok = events[-1]
-                events[-1] = (p, tok + f"-{n}" + "N" * n)
+                dbases = (ref[pos:pos + n].upper() if ref is not None
+                          else "N" * n)
+                events[-1] = (p, tok + f"-{n}" + dbases)
             for k in range(n):
                 events.append((pos + k, "*"))
             pos += n
@@ -77,7 +83,8 @@ def _read_events(rec, min_bq: int):
 
 
 def pileup_columns(bam, contig: str, start: int, end: int,
-                   min_bq: int = 13) -> Iterator[Tuple[int, str]]:
+                   min_bq: int = 13,
+                   ref: Optional[str] = None) -> Iterator[Tuple[int, str]]:
     """Yield (pos, column_string) for every covered position in
     [start, end), positions ascending; uncovered positions are skipped
     (like samtools mpileup)."""
@@ -85,7 +92,7 @@ def pileup_columns(bam, contig: str, start: int, end: int,
     for rec in bam.fetch(contig, start, end):
         if rec.is_secondary or rec.is_supplementary or rec.is_unmapped:
             continue
-        for p, tok in _read_events(rec, min_bq):
+        for p, tok in _read_events(rec, min_bq, ref):
             if start <= p < end:
                 cols.setdefault(p, []).append(tok)
     for p in sorted(cols):
@@ -93,10 +100,10 @@ def pileup_columns(bam, contig: str, start: int, end: int,
 
 
 def get_pileups(bam, contig: str, start: int, end: int,
-                min_bq: int = 13) -> Iterator[str]:
+                min_bq: int = 13, ref: Optional[str] = None) -> Iterator[str]:
     """Uppercased column strings only (reference: src/bam.pyx:300-314 yields
     `cut -f5` uppercased). Note the reference enumerates columns positionally
     against the region's reference slice assuming full coverage; we yield
     (pos-aligned) columns via pileup_columns for the stats engine instead."""
-    for _, col in pileup_columns(bam, contig, start, end, min_bq):
+    for _, col in pileup_columns(bam, contig, start, end, min_bq, ref):
         yield col.upper()

@@ -85,3 +85,47 @@ def test_sam_line_roundtrip():
 def test_query_alignment_sequence():
     rec = parse_sam_line("r\t0\tref\t1\t60\t2S5M3S\t*\t0\t0\tAACCCCCTTT\t*")
     assert rec.query_alignment_sequence == "CCCCC"
+
+
+def test_realigner_skips_malformed_reads(stats_dir):
+    """One bad MD tag must not abort the run: skip-with-warning
+    (reference envelope: pysam tolerates oddities, src/bam.pyx:18-47)."""
+    from npore_tpu.engine.realigner import Realigner
+    from npore_tpu.io.sam import SamRecord
+    from npore_tpu.model.scores import (calc_score_matrices,
+                                        load_confusion_matrices)
+    subs, nps, inss, dels = load_confusion_matrices(stats_dir)
+    sub_scores, np_scores, _, _ = calc_score_matrices(subs, nps, inss, dels)
+    rl = Realigner(sub_scores, np_scores, engine="golden")
+    good = SamRecord(qname="ok", flag=0, rname="ref", pos=0, mapq=60,
+                     cigar="8M", seq="ACGTACGT", qual="I" * 8,
+                     tags={"MD": ("Z", "8")})
+    bad = SamRecord(qname="bad", flag=0, rname="ref", pos=0, mapq=60,
+                    cigar="4M2D4M", seq="ACGTACGT", qual="I" * 8,
+                    tags={"MD": ("Z", "8")})  # MD lacks the deletion
+    out = list(rl.realign_records(iter([good, bad])))
+    assert [r.qname for r in out] == ["ok"]
+    assert len(rl.skipped) == 1 and "bad" in rl.skipped[0]
+
+
+def test_pileup_deletion_bases_with_ref():
+    """With a reference, deletion annotations carry the deleted ref bases
+    (samtools -f behavior); without, 'N's (the reference's no-f command)."""
+    from npore_tpu.io.pileup import pileup_columns
+    from npore_tpu.io.sam import SamRecord
+
+    class StubBam:
+        def __init__(self, recs):
+            self.recs = recs
+
+        def fetch(self, *a):
+            return iter(self.recs)
+
+    rec = SamRecord(qname="r", flag=0, rname="c", pos=0, mapq=60,
+                    cigar="4M2D4M", seq="ACGTACGT", qual="I" * 8)
+    bam = StubBam([rec])
+    ref = "ACGTTGACGT"
+    cols = dict(pileup_columns(bam, "c", 0, 10, ref=ref))
+    assert cols[3].endswith("-2TG")
+    cols_nof = dict(pileup_columns(bam, "c", 0, 10))
+    assert cols_nof[3].endswith("-2NN")
