@@ -87,19 +87,57 @@ def compute_purity(column: str) -> Optional[Tuple[float, float]]:
     return base_score, ins_score
 
 
+CHUNK = 100_000          # pileup chunk width: bounds per-worker memory
+
+_purity_bams = {}
+
+
+def _purity_chunk(job):
+    """Pool worker: purity scores of one (bam, contig, beg, end) chunk.
+    Bounded memory: only one chunk's columns are ever materialized
+    (reference fans chunks over mp.Pool the same way, src/purity.py:182-191)."""
+    bam_path, ctg, b, e, min_bq = job
+    # keyed by PID: forked children must never reuse a parent's handle
+    # (the underlying fd offset is shared across fork)
+    key = (os.getpid(), bam_path)
+    bam = _purity_bams.get(key)
+    if bam is None:
+        _purity_bams.clear()
+        bam = open_alignment_file(bam_path, prep=False)
+        _purity_bams[key] = bam
+    out = []
+    for pos, col in pileup_columns(bam, ctg, b, e, min_bq=min_bq):
+        s = compute_purity(col)
+        if s is not None:
+            out.append(s)
+    return out
+
+
 def bam_purity(bam_path: str, contig: Optional[str], beg: Optional[int],
-               end: Optional[int], min_bq: int) -> np.ndarray:
-    bam = open_alignment_file(bam_path)
-    scores: List[Tuple[float, float]] = []
+               end: Optional[int], min_bq: int,
+               processes: int = 0) -> np.ndarray:
+    bam = open_alignment_file(bam_path, prep=False)
     contigs = [contig] if contig else bam.references
     lengths = dict(zip(bam.references, bam.lengths))
+    jobs = []
     for ctg in contigs:
         b = beg if beg is not None else 0
         e = end if end is not None else lengths.get(ctg, 1 << 40)
-        for pos, col in pileup_columns(bam, ctg, b, e, min_bq=min_bq):
-            s = compute_purity(col)
-            if s is not None:
-                scores.append(s)
+        e = min(e, lengths.get(ctg, e))
+        for lo in range(b, e, CHUNK):
+            jobs.append((bam_path, ctg, lo, min(lo + CHUNK, e), min_bq))
+    if processes == 0:
+        processes = min(os.cpu_count() or 1, len(jobs) or 1)
+    scores: List[Tuple[float, float]] = []
+    if processes > 1 and len(jobs) > 1:
+        import multiprocessing as mp
+        ctx = mp.get_context("fork")
+        with ctx.Pool(processes) as pool:
+            for part in pool.imap(_purity_chunk, jobs):
+                scores.extend(part)
+    else:
+        for job in jobs:
+            scores.extend(_purity_chunk(job))
     return np.asarray(scores, dtype=np.float64).reshape(-1, 2)
 
 

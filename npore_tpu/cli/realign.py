@@ -51,6 +51,15 @@ def argparser() -> argparse.ArgumentParser:
                    help="Write a jax.profiler trace of the realignment "
                         "stage to this directory (new; view with "
                         "TensorBoard or Perfetto).")
+    p.add_argument("--num_hosts", type=int, default=1,
+                   help="Multi-host SPMD: total participating hosts "
+                        "(new; every host runs this CLI with the same "
+                        "args plus its --host_id).")
+    p.add_argument("--host_id", type=int, default=None,
+                   help="This host's index in [0, num_hosts).")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="host:port of the jax.distributed coordinator "
+                        "(host 0).")
     return p
 
 
@@ -84,10 +93,20 @@ def main(argv=None) -> int:
     args = argparser().parse_args(argv)
     cfg = config_from_args(args)
 
+    from ..parallel.distributed import (barrier, host_out_path,
+                                        init_distributed, merge_host_sams,
+                                        shard_regions)
+    host_id, num_hosts = init_distributed(args.coordinator, args.num_hosts,
+                                          args.host_id)
+
     print("> selecting BAM regions")
     ref_fa = FastaFile(cfg.ref)
     bam = open_alignment_file(cfg.bam)
     regions = get_bam_regions(cfg, ref_fa, bam)
+    if num_hosts > 1:
+        regions = shard_regions(regions, num_hosts, host_id)
+        print(f"    host {host_id}/{num_hosts}: {len(regions)} region "
+              f"shards")
 
     # auto-recalculate stats when any matrix is missing (src/realign.py:124-128)
     have_all = all(os.path.isfile(os.path.join(cfg.stats_dir, f"{n}_cm.npy"))
@@ -99,7 +118,11 @@ def main(argv=None) -> int:
         from ..engine.stats import calc_confusion_matrices_bam
         subs, nps, inss, dels = calc_confusion_matrices_bam(
             bam_path=cfg.bam, ref_fa=ref_fa, regions=regions, cfg=cfg)
-        save_confusion_matrices(cfg.stats_dir, subs, nps, inss, dels)
+        if num_hosts > 1:      # all-reduce each host's region-shard counts
+            from ..parallel.distributed import allreduce_counts
+            subs, nps, inss, dels = allreduce_counts([subs, nps, inss, dels])
+        if host_id == 0:
+            save_confusion_matrices(cfg.stats_dir, subs, nps, inss, dels)
         if cfg.recalc_exit:
             return 0
     else:
@@ -120,7 +143,7 @@ def main(argv=None) -> int:
 
     print("> creating output SAM")
     header = make_header(bam.references, bam.lengths, __version__)
-    out_path = f"{cfg.out_prefix}.sam"
+    out_path = host_out_path(cfg.out_prefix, host_id, num_hosts)
     d = os.path.dirname(out_path)
     if d:
         os.makedirs(d, exist_ok=True)
@@ -159,6 +182,11 @@ def main(argv=None) -> int:
         print(f"    {realigner.bail_count} alignments used the golden "
               f"fallback")
     print(f"\r    {n} reads realigned; runtime: {perf_counter()-start:.2f}s")
+    if num_hosts > 1:
+        barrier("realign-sam")
+        if host_id == 0:
+            merged = merge_host_sams(cfg.out_prefix, num_hosts)
+            print(f"    merged {num_hosts} host shards into {merged}")
     return 0
 
 

@@ -24,9 +24,15 @@ G_CALL = 8                      # programs per device call (G_CALL*W windows)
 _OPCH = np.frombuffer(b"=XID", dtype=np.uint8)
 def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
                     indel_extend: float, inf: float, max_n: int, max_l: int,
-                    interpret: bool, cont_cols, kmaxn):
+                    interpret: bool, cont_cols, kmaxn, mesh=None):
     """One jitted prepass+DP+TB chain: a single dispatch per group keeps
-    the ~25ms-latency tunnel from being paid three times."""
+    the ~25ms-latency tunnel from being paid three times.
+
+    With ``mesh`` (a 1-D ``data`` mesh), the chain is shard_mapped over the
+    mesh: every per-group array keeps ``G`` programs *per device* on its
+    leading axis shard, so one dispatch drives all chips — the SPMD form
+    of the reference's reader/worker pool over reads (src/realign.py:110-114).
+    """
     import jax
 
     from .prepass import make_prepass
@@ -46,6 +52,22 @@ def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
         if packed16:
             slots = slots[..., 0::2] | (slots[..., 1::2] << 16)
         return dp_bail, tb_bail, slots
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        shard_map = jax.shard_map
+
+        def spec(a_ndim):
+            return P(*(("data",) + (None,) * (a_ndim - 1)))
+
+        # all 15 inputs carry their batch on axis 0 except the replicated
+        # score table `sub` (arg 13)
+        in_specs = tuple(spec(nd) for nd in
+                         (2, 2, 3, 2, 3, 3, 3, 3, 3, 3, 3, 3, 2)) \
+            + (P(None, None),) + (spec(3),)
+        out_specs = (spec(3), spec(3), spec(4))
+        run = shard_map(run, mesh=mesh, in_specs=in_specs,
+                        out_specs=out_specs, check_vma=False)
 
     return jax.jit(run), packed16
 
@@ -74,7 +96,7 @@ class PallasEngine:
                  cfg: AlignConfig = AlignConfig(), k_cont: int = 14,
                  interpret: Optional[bool] = None,
                  devices: Optional[list] = None, g_call: int = G_CALL,
-                 kmaxn: Optional[tuple] = None):
+                 kmaxn: Optional[tuple] = None, mesh=None):
         import jax
         self.cfg = cfg
         self.k_cont = k_cont
@@ -84,6 +106,8 @@ class PallasEngine:
         if interpret and g_call == G_CALL:
             g_call = 1          # interpret mode: small groups keep tests fast
         self.g_call = g_call
+        self.mesh = mesh        # 1-D "data" mesh: shard_map'd dispatch
+        self.n_shards = mesh.size if mesh is not None else 1
         self.devices = devices if devices is not None else jax.local_devices()
         self._rr = 0
         self.sub_scores = sub_scores.astype(np.float32)
@@ -125,7 +149,7 @@ class PallasEngine:
         pending = []
         for r_pad, wins in sorted(by_r.items()):
             wins.sort(key=lambda w: w.b_rows)
-            bw = self.g_call * W
+            bw = self.n_shards * self.g_call * W
             for lo in range(0, len(wins), bw):
                 group = wins[lo:lo + bw]
                 pending.append((group, self._submit_group(group, r_pad)))
@@ -171,15 +195,18 @@ class PallasEngine:
         import jax
         import jax.numpy as jnp
 
-        dev = self.devices[self._rr % len(self.devices)]
-        self._rr += 1
-        put = lambda a: jax.device_put(np.asarray(a), dev)
+        if self.mesh is not None:
+            put = lambda a: np.asarray(a)   # jit/shard_map places shards
+        else:
+            dev = self.devices[self._rr % len(self.devices)]
+            self._rr += 1
+            put = lambda a: jax.device_put(np.asarray(a), dev)
 
         cfg = self.cfg
         max_n = cfg.max_n
         r = cfg.r
-        B = self.g_call * W
-        G = self.g_call
+        G = self.n_shards * self.g_call     # global programs per dispatch
+        B = G * W
         NL = 1 + 2 * max_n
         P2 = r_pad + 512
         PADL = 128            # leading pad (multiple of 128 keeps lane binding)
@@ -242,9 +269,9 @@ class PallasEngine:
         key = r_pad
         if key not in self._composites:
             self._composites[key] = _make_composite(
-                r_pad, G, r, cfg.indel_start, cfg.indel_extend, cfg.inf,
-                max_n, cfg.max_l, self.interpret, self.cont_cols,
-                self.kmaxn)
+                r_pad, self.g_call, r, cfg.indel_start, cfg.indel_extend,
+                cfg.inf, max_n, cfg.max_l, self.interpret, self.cont_cols,
+                self.kmaxn, mesh=self.mesh)
         run, packed16 = self._composites[key]
         dp_bail, tb_bail, slots = run(
             put(ref8), put(seq8), put(sd8), put(p0blk), put(p0c), put(p0r),

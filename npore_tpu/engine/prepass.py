@@ -22,15 +22,16 @@ from ..ops.pallas_dp import BLK, KMAXN, LANES
 
 
 def ct_layout(max_n: int, kmaxn=KMAXN):
-    """Per-(side, n) plane offsets in the score tiles; QF total planes."""
-    offs = []
+    """Per-(side, n) plane offsets in the score tiles; QF total planes.
+
+    Pair-major: both sides of one period sit adjacent, so the prepass
+    emits each period's planes with a single table matmul."""
+    offs = [[0] * max_n, [0] * max_n]
     q = 0
-    for side in range(2):
-        row = []
-        for ni in range(max_n):
-            row.append(q)
+    for ni in range(max_n):
+        for side in range(2):
+            offs[side][ni] = q
             q += kmaxn[ni] + 2          # k=1..K, SAT, LB
-        offs.append(row)
     return offs, q
 
 
@@ -72,21 +73,35 @@ def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
         lins = lins_lin.reshape(B, NL, P2 // LANES, LANES)
 
         # ---- score tiles: lookup by l per (side, n), full-k columns ----
-        parts = []
-        for s in range(2):
-            for ni in range(max_n):
-                l_n = linr_lin[:, 1 + ni, :]             # (B, P2) clamped L
-                tab = jnp.asarray(cont_cols[s][ni])       # (101, K+2)
-                parts.append(jnp.take(tab, l_n, axis=0))  # (B, P2, K+2)
-        ctp = jnp.concatenate(parts, axis=2)              # (B, P2, QF)
-
+        # Gather order matters: first pull the (small) per-position l
+        # planes into the per-block lane-aligned layout, then index the
+        # tiny (101, K+2) tables. The reverse order (tables first) would
+        # materialize a (B, P2, QF) intermediate and run the big gather
+        # along a QF-wide axis — ~6x slower on the measured prepass.
         # per-block lane-aligned position index:
         # p(b, j) = p0 + ((j - p0) mod 128), array col = p + PADL
         lanes = np.arange(LANES, dtype=np.int32)[None, None, :]
         p0e = p0[:, :, None]
         pidx = PADL + p0e + ((lanes - p0e) % LANES)       # (B, nblk, 128)
-        g = jnp.take_along_axis(
-            ctp, pidx.reshape(B, nblk * LANES, 1), axis=1)
+        pflat = jnp.asarray(pidx.reshape(B, 1, nblk * LANES))
+        l_blk = jnp.take_along_axis(
+            linr_lin[:, 1:1 + max_n, :], pflat, axis=2)   # (B, max_n, nbl*128)
+        # table lookup as a one-hot MXU matmul: rows of the one-hot are
+        # exact unit vectors, so (with HIGHEST precision) the product
+        # selects table rows bit-exactly — ~10x the throughput of an XLA
+        # gather on this backend. Both sides of a period share one matmul
+        # (ct_layout is pair-major).
+        iota_l = jnp.arange(cont_cols[0][0].shape[0], dtype=jnp.int32)
+        parts = []
+        for ni in range(max_n):
+            tab2 = jnp.asarray(np.concatenate(
+                [np.asarray(cont_cols[0][ni]), np.asarray(cont_cols[1][ni])],
+                axis=1))                                   # (101, 2K+4)
+            oh = (l_blk[:, ni, :, None] == iota_l).astype(jnp.float32)
+            parts.append(jax.lax.dot_general(
+                oh, tab2, (((2,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST))      # (B, npos, 2K+4)
+        g = jnp.concatenate(parts, axis=2)                # (B, nbl*128, QF)
         cts = g.reshape(B, nblk, LANES, QF).swapaxes(2, 3)  # (B,nblk,QF,128)
 
         sd = jnp.concatenate(

@@ -166,23 +166,56 @@ class Realigner:
 
     # ------------------------------------------------------------------
     def realign_records(self, reads: Iterable[SamRecord],
-                        batch_size: int = 128) -> Iterable[SamRecord]:
+                        batch_size: int = 128,
+                        prefetch: int = 2) -> Iterable[SamRecord]:
         """Full read pipeline (reference: src/bam.pyx:51-89): strip clips,
         realign, left-normalize to fixpoint, emit the new SAM record with
-        preserved identity fields and an HP tag."""
-        batch: List[SamRecord] = []
-        for read in reads:
-            batch.append(read)
-            if len(batch) >= batch_size:
-                yield from self._do_batch(batch)
-                batch = []
-        if batch:
-            yield from self._do_batch(batch)
+        preserved identity fields and an HP tag.
+
+        Read decode runs on a worker thread (the native BAM decoder
+        releases the GIL), overlapping host decode with device compute —
+        the batched analog of the reference's reader/worker pool split
+        (src/realign.py:110-114)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+
+        def producer():
+            batch: List[SamRecord] = []
+            try:
+                for read in reads:
+                    batch.append(read)
+                    if len(batch) >= batch_size:
+                        q.put(batch)
+                        batch = []
+                if batch:
+                    q.put(batch)
+                q.put(None)
+            except BaseException as e:       # surface in the consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield from self._do_batch(item)
+        t.join()
 
     def _do_batch(self, reads: List[SamRecord]) -> Iterable[SamRecord]:
         items = []
         meta = []
         for read in reads:
+            aln = getattr(read, "aln", None)
+            if aln is not None:              # native decoder prep fast path
+                int_ref, int_seq, cig = aln
+                items.append(AlignItem(int_ref, int_seq, cig))
+                meta.append((read, int_ref, int_seq))
+                continue
             try:
                 cig = expand_cigar(read.cigar).replace("S", "").replace("H", "")
                 int_ref = bases_to_int(read.get_reference_sequence().upper())

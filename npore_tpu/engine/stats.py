@@ -11,6 +11,7 @@ ins/del length histograms.
 """
 from __future__ import annotations
 
+import os
 from typing import List, Tuple
 
 import numpy as np
@@ -140,30 +141,70 @@ def calc_confusion_matrices_range(bam, ref_str: str, contig: str, start: int,
     return subs, nps, inss, dels
 
 
+def _zero_counts(max_n: int, max_l: int):
+    return (np.zeros((NBASES, NBASES), np.int64),
+            np.zeros((max_n, max_l + 1, max_l + 1), np.int64),
+            np.zeros(max_l + 1, np.int64), np.zeros(max_l + 1, np.int64))
+
+
+_worker_state = {}
+
+
+def _range_worker(job):
+    """Process-pool worker: counts for one chunk range. Opens its own BAM
+    handle / FASTA per process (the reference forks a pool the same way,
+    src/bam.pyx:166-203 via src/realign.py pools)."""
+    (bam_path, ref_path, contig, start, end, max_n, max_l, min_bq) = job
+    # keyed by PID: forked children must never reuse a parent's handle
+    # (the underlying fd offset is shared across fork)
+    key = (os.getpid(), bam_path, ref_path)
+    st = _worker_state.get(key)
+    if st is None:
+        _worker_state.clear()
+        from ..io.bam import open_alignment_file
+        from ..io.fasta import FastaFile
+        st = (open_alignment_file(bam_path, prep=False), FastaFile(ref_path),
+              {})
+        _worker_state[key] = st
+    bam, fa, refs = st
+    if contig not in refs:
+        refs.clear()                      # one contig string at a time
+        refs[contig] = fa.fetch(contig)
+    return calc_confusion_matrices_range(
+        bam, refs[contig], contig, start, end, max_n, max_l, min_bq)
+
+
 def calc_confusion_matrices_bam(bam_path: str, ref_fa, regions: List[Region],
-                                cfg: RealignConfig
+                                cfg: RealignConfig, processes: int = 0
                                 ) -> Tuple[np.ndarray, np.ndarray,
                                            np.ndarray, np.ndarray]:
     """Sum counts over chunk_width ranges (reference: src/bam.pyx:166-203).
-    Chunks are independent; under multi-host meshes each host sums its shard
-    and the results are psum-reduced (parallel/mesh.py)."""
-    from ..io.bam import open_alignment_file
-    bam = open_alignment_file(bam_path)
+
+    Chunks are independent: they fan out over a process pool on one host
+    (``processes=0`` -> cpu count; 1 -> serial), and under multi-host
+    meshes each host sums its region shard and the partial counts are
+    psum-reduced over the mesh (parallel/mesh.reduce_confusion_matrices),
+    the TPU-native form of the reference's np.sum over pool results
+    (src/bam.pyx:183-192)."""
     max_n, max_l = cfg.align.max_n, cfg.align.max_l
-    acc = None
-    refs = {}
-    for contig, start, end in get_ranges(regions, cfg.chunk_width):
-        if contig not in refs:
-            refs[contig] = ref_fa.fetch(contig)
-        parts = calc_confusion_matrices_range(
-            bam, refs[contig], contig, start, end, max_n, max_l, cfg.min_bq)
-        if acc is None:
-            acc = list(parts)
-        else:
-            for a, p in zip(acc, parts):
+    ranges = list(get_ranges(regions, cfg.chunk_width))
+    if not ranges:
+        return _zero_counts(max_n, max_l)
+    ref_path = getattr(ref_fa, "path", None)
+    if processes == 0:
+        processes = min(os.cpu_count() or 1, len(ranges))
+    jobs = [(bam_path, ref_path, c, s, e, max_n, max_l, cfg.min_bq)
+            for c, s, e in ranges]
+    acc = list(_zero_counts(max_n, max_l))
+    if processes > 1 and ref_path:
+        import multiprocessing as mp
+        ctx = mp.get_context("fork")
+        with ctx.Pool(processes) as pool:
+            for parts in pool.imap_unordered(_range_worker, jobs):
+                for a, p in zip(acc, parts):
+                    a += p
+    else:
+        for job in jobs:
+            for a, p in zip(acc, _range_worker(job)):
                 a += p
-    if acc is None:
-        return (np.zeros((NBASES, NBASES), np.int64),
-                np.zeros((max_n, max_l + 1, max_l + 1), np.int64),
-                np.zeros(max_l + 1, np.int64), np.zeros(max_l + 1, np.int64))
     return tuple(acc)

@@ -169,9 +169,18 @@ class BamReader:
         return sum(1 for _ in self.fetch(contig, start, stop))
 
 
-def open_alignment_file(path: str):
-    """Open a BAM or SAM by extension (pysam.AlignmentFile parity)."""
+def open_alignment_file(path: str, prep: bool = True):
+    """Open a BAM or SAM by extension (pysam.AlignmentFile parity).
+
+    BAMs go through the C++ streaming decoder (io/bam_native.py) when the
+    native library is available — bounded memory, indexed region seeks,
+    and (with ``prep``) per-record realignment inputs computed natively —
+    falling back to this module's pure-Python reader otherwise."""
     if path.endswith(".bam"):
-        return BamReader(path)
+        try:
+            from .bam_native import NativeBamReader
+            return NativeBamReader(path, prep=prep)
+        except Exception:
+            return BamReader(path)
     from .sam import SamReader
     return SamReader(path)

