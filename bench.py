@@ -6,10 +6,14 @@ the read set replicated to fill device batches. Prints ONE JSON line.
 
 ``vs_baseline`` compares against the reference's multicore Cython engine.
 The reference cannot execute here (no pysam/Cython), so the baseline is
-estimated from its DP cost model (BASELINE.md): ~67k band cells/read at
-these lengths, Cython at ~3M cell-updates/s/core on a modern core, times
-the host's cores — the same mp.Pool-over-all-cores setup as
-reference src/realign.py:110-114. Override with env NPORE_BASELINE_RPS.
+*measured* from this repo's C++ port of the reference kernel
+(native/golden_align.cpp — a faithful single-thread reimplementation of
+src/aln.pyx:379-787, bit-exact vs the golden spec): time it single-core on
+the same fixture reads, multiply by the host's core count — the same
+mp.Pool-over-all-cores setup as reference src/realign.py:110-114. The
+kernel-only timing flatters the baseline (no read IO / normalization /
+SAM write in its denominator), keeping ``vs_baseline`` conservative.
+Override with env NPORE_BASELINE_RPS.
 """
 from __future__ import annotations
 
@@ -24,14 +28,32 @@ sys.path.insert(0, REPO)
 import numpy as np
 
 
-def baseline_reads_per_sec() -> float:
+def baseline_reads_per_sec(reads, sub_scores, np_scores, cfg) -> float:
     env = os.environ.get("NPORE_BASELINE_RPS")
     if env:
         return float(env)
     ncores = os.cpu_count() or 8
-    cells_per_read = 1130 * 61          # (seq+ref+1) rows x 61-wide band
-    cython_cells_per_sec = 3.0e6        # per core, 5-state cell w/ np probes
-    return cython_cells_per_sec * ncores / cells_per_read
+    from npore_tpu.constants import bases_to_int
+    from npore_tpu.io.cigar import expand_cigar
+    from npore_tpu.native import get_lib, golden_align_native
+    if get_lib() is None:               # no compiler: modeled fallback
+        cells_per_read = 1130 * 61      # (seq+ref+1) rows x 61-wide band
+        return 3.0e6 * ncores / cells_per_read
+    items = []
+    for r in reads:
+        cig = expand_cigar(r.cigar).replace("S", "").replace("H", "")
+        items.append((bases_to_int(r.get_reference_sequence().upper()),
+                      bases_to_int(r.query_alignment_sequence.upper()), cig))
+    for ref8, seq8, cig in items:       # warm caches/pages
+        golden_align_native(ref8, seq8, cig, sub_scores, np_scores, cfg)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for ref8, seq8, cig in items:
+            golden_align_native(ref8, seq8, cig, sub_scores, np_scores, cfg)
+        dt = time.perf_counter() - t0
+        best = max(best, len(items) / dt)
+    return best * ncores
 
 
 def main() -> None:
@@ -65,7 +87,9 @@ def main() -> None:
         assert len(out) == len(work)
         best = max(best, len(work) / dt)
 
-    base = baseline_reads_per_sec()
+    from npore_tpu.config import AlignConfig
+    base = baseline_reads_per_sec(reads, sub_scores, np_scores,
+                                  AlignConfig())
     print(json.dumps({
         "metric": "reads_realigned_per_sec_single_chip",
         "value": round(best, 2),

@@ -141,24 +141,65 @@ def bam_purity(bam_path: str, contig: Optional[str], beg: Optional[int],
     return np.asarray(scores, dtype=np.float64).reshape(-1, 2)
 
 
+def _bin_counts(scores_list) -> np.ndarray:
+    """Pooled per-percent histogram (reference binning quirk: index
+    int(x*100 - 1e-5) so purity 1.0 lands in the top bin,
+    src/purity.py:101-111)."""
+    counts = np.zeros(100, dtype=np.int64)
+    for xs in scores_list:
+        idx = (np.asarray(xs) * 100 - 0.00001).astype(int)
+        np.add.at(counts, np.clip(idx, 0, 99), 1)
+    return counts
+
+
 def plot_purity(all_scores, names, out_prefix) -> None:
-    """Histogram plots (reference: src/purity.py:88-152)."""
+    """Histogram + hap-pair ratio plots (reference: src/purity.py:88-152).
+
+    Top row: per-BAM step histograms of base / insertion purity (log y).
+    Bottom row (when >=4 BAMs, i.e. two hap pairs as the reference
+    hardcodes): per-bin count ratio of the second pair (realigned) over
+    the first (original) — the reference's
+    clair3-npore-hap / clair3-hap ratio bars."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, axs = plt.subplots(1, 2, figsize=(14, 5))
-    bins = np.linspace(0, 1, 101)
-    for scores, name in zip(all_scores, names):
+    ratios = len(all_scores) >= 4
+    fig, axs = plt.subplots(2 if ratios else 1, 2,
+                            figsize=(20, 8) if ratios else (14, 5),
+                            squeeze=False)
+    bins = np.linspace(0, 1, 100)
+    colors = ["r", "y", "g", "b"] + [None] * max(0, len(all_scores) - 4)
+    for scores, name, color in zip(all_scores, names, colors):
         if not len(scores):
             continue
-        axs[0].hist(scores[:, 0], bins=bins, histtype="step", label=name)
-        axs[1].hist(scores[:, 1], bins=bins, histtype="step", label=name)
-    axs[0].set_xlabel("base purity")
-    axs[1].set_xlabel("insertion purity")
-    for ax in axs:
+        for col in (0, 1):
+            axs[0][col].hist(scores[:, col], bins=bins, linewidth=3,
+                             histtype="step", color=color, alpha=0.8,
+                             label=name)
+    axs[0][0].set_title("Pileup Gini Purity Histogram")
+    axs[0][1].set_title("Insertion Gini Purity Histogram")
+    axs[0][0].set_ylabel("Counts")
+    for ax in axs[0]:
+        ax.set_xticks(np.linspace(0, 1, 11))
+        ax.set_xlim(0, 1)
         ax.set_yscale("log")
-        ax.legend()
+    axs[0][1].legend()
+
+    if ratios:
+        for col in (0, 1):
+            old = _bin_counts([s[:, col] for s in all_scores[0:2]])
+            new = _bin_counts([s[:, col] for s in all_scores[2:4]])
+            ratio = np.where((old > 0) & (new > 0),
+                             new / np.maximum(old, 1), 0.0)
+            ax = axs[1][col]
+            ax.bar(np.linspace(-0.005, 1 - 0.005, 100), ratio, width=0.01)
+            ax.axhline(1, color="k", linestyle=":")
+            ax.set_xlim(0, 1)
+            ax.set_title(f"Ratio: {names[2]}+{names[3]} / "
+                         f"{names[0]}+{names[1]}")
+        axs[1][0].set_ylabel("Ratio")
+
     fig.tight_layout()
     fig.savefig(f"{out_prefix}_purity.png", dpi=120)
     plt.close(fig)

@@ -182,6 +182,24 @@ def filter_overlaps(in_vcf_fn: str, out_vcf_fn: str) -> None:
     write_vcf(out_vcf_fn, vcf.header_lines, kept)
 
 
+def filter_gt(in_vcf_fn: str, out_vcf_fn: str, exclude_gt: str) -> int:
+    """Drop records whose genotype call equals ``exclude_gt`` — in-process
+    form of the pipeline's ``bcftools filter --exclude 'GT="0/0"'`` passes
+    (reference: scripts/realign_pipeline.sh:277-279, 409-411). Unphased
+    and phased separators compare equal (bcftools GT semantics). Returns
+    the number of records kept."""
+    want = tuple(sorted(exclude_gt.replace("|", "/").split("/")))
+    vcf = VcfReader(in_vcf_fn)
+    kept = []
+    for rec in vcf:
+        gt = rec.sample.split(":", 1)[0].replace("|", "/")
+        if tuple(sorted(gt.split("/"))) == want:
+            continue
+        kept.append(rec)
+    write_vcf(out_vcf_fn, vcf.header_lines, kept)
+    return len(kept)
+
+
 def split_vcf(vcf_fn: str, regions: Sequence[Tuple[str, int, int]],
               out_pre: str = "", filter_unphased: bool = False
               ) -> Tuple[str, str]:

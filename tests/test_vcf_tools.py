@@ -28,6 +28,24 @@ def test_filter_overlaps(tmp_path):
     assert [r.pos + 1 for r in recs] == [3, 12]
 
 
+def test_filter_gt(tmp_path):
+    """In-process form of the pipeline's bcftools GT=0/0 exclusion
+    (reference: scripts/realign_pipeline.sh:277-279)."""
+    from npore_tpu.io.vcf import filter_gt
+    vcf = tmp_path / "in.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n"
+        "c\t3\t.\tA\tC\t60\tPASS\t.\tGT:GQ\t0/0:12\n"
+        "c\t5\t.\tT\tC\t60\tPASS\t.\tGT\t0|0\n"
+        "c\t8\t.\tG\tC\t60\tPASS\t.\tGT\t0/1\n"
+        "c\t12\t.\tG\tC\t60\tPASS\t.\tGT\t1|1\n")
+    out = tmp_path / "out.vcf"
+    n = filter_gt(str(vcf), str(out), "0/0")
+    recs = list(VcfReader(str(out)))
+    assert n == 2 and [r.pos + 1 for r in recs] == [8, 12]
+
+
 def test_split_and_merge(tmp_path, data_dir):
     regions = [("chr18", 0, 31), ("chr19", 0, 31)]
     pre = str(tmp_path / "pre")
