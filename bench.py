@@ -58,7 +58,7 @@ def baseline_reads_per_sec(reads, sub_scores, np_scores, cfg) -> float:
 
 def main() -> None:
     from npore_tpu.engine.realigner import Realigner
-    from npore_tpu.io.bam import BamReader
+    from npore_tpu.io.bam import BamReader, open_alignment_file
     from npore_tpu.model.scores import (calc_score_matrices,
                                         load_confusion_matrices)
 
@@ -66,14 +66,25 @@ def main() -> None:
         os.path.join(REPO, "guppy5_stats"))
     sub_scores, np_scores, _, _ = calc_score_matrices(subs, nps, inss, dels)
 
-    reads = [r for r in BamReader(os.path.join(REPO, "tests/data/reads.bam"))
+    bam_path = os.path.join(REPO, "tests/data/reads.bam")
+    reads = [r for r in BamReader(bam_path)
              if not (r.is_secondary or r.is_supplementary or r.is_unmapped)]
 
-    import dataclasses
     rep = int(os.environ.get("NPORE_BENCH_REPLICAS", "256"))
-    # fresh record objects per replica: per-record caches must not let the
-    # benchmark overstate throughput vs distinct-read workloads
-    work = [dataclasses.replace(r) for r in reads for _ in range(rep)]
+    # the production streaming path, repeated: every replica pass re-reads
+    # and re-decodes the BAM through the C++ reader (io/bam_native), so
+    # per-read decode cost is honestly counted (and overlapped by the
+    # realigner's prefetch thread, as in a real run over distinct reads)
+    bam = open_alignment_file(bam_path)
+
+    def work_iter():
+        for _ in range(rep):
+            for r in bam:
+                if not (r.is_secondary or r.is_supplementary
+                        or r.is_unmapped):
+                    yield r
+
+    n_work = rep * len(reads)
     rl = Realigner(sub_scores, np_scores, engine="pallas")
 
     # warmup: compile + one full pass
@@ -82,10 +93,10 @@ def main() -> None:
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        out = list(rl.realign_records(iter(work), batch_size=1024))
+        out = list(rl.realign_records(work_iter(), batch_size=1024))
         dt = time.perf_counter() - t0
-        assert len(out) == len(work)
-        best = max(best, len(work) / dt)
+        assert len(out) == n_work
+        best = max(best, n_work / dt)
 
     from npore_tpu.config import AlignConfig
     base = baseline_reads_per_sec(reads, sub_scores, np_scores,

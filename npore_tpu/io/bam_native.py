@@ -158,8 +158,19 @@ class NativeBamReader:
                     raise ValueError(
                         f"BAM stream error in '{self.path}': {err}")
                 return
-            pool = self._pool.raw  # one copy per batch
+            # copy only the used pool extent (the C++ side bump-allocates,
+            # so max offset+len across fields bounds it); .raw would copy
+            # the whole 32MB cap per batch
             fx = self._fixed
+            fxv = fx[:int(n)]
+            used = 0
+            for off, ln in ((8, 9), (10, 11), (14, 15), (16, 17),
+                            (18, 19), (20, 21)):
+                used = max(used, int((fxv[:, off] + fxv[:, ln]).max()))
+            used = max(used, int((fxv[:, 12] + fxv[:, 7]).max()))
+            q = np.where(fxv[:, 13] >= 0, fxv[:, 13] + fxv[:, 7], 0)
+            used = max(used, int(q.max()))
+            pool = ctypes.string_at(self._pool, used)
             refs = self.references
             for i in range(int(n)):
                 f = fx[i]

@@ -1,40 +1,108 @@
 #!/bin/bash
-# hap.py accuracy harness (reference: scripts/happy.sh): sweeps hap.py
-# (vcfeval engine) over call-VCF x truth-VCF x BED strata produced by the
-# bed CLI. Requires hap.py + rtg-tools on PATH (external evaluation tools).
+# hap.py accuracy harness (reference: scripts/happy.sh): the full
+# call-VCF x truth-VCF x stratum-BED x eval-BED sweep, run in parallel,
+# with the reference's eval-chromosome BED subsetting (:58-69), vcfeval
+# engine, --roc QUAL --write-counts flags and {call}-{bed}-{truth}-{eval}
+# output naming (:85-100) that scripts/plot_results.py consumes.
+# Requires hap.py + rtg-tools on PATH (external evaluation tools).
 #
-# usage: ./happy.sh <truth.vcf> <ref.fasta> <bed_prefix> <out_dir> <call1.vcf> [call2.vcf ...]
+# usage: ./happy.sh <ref.fasta> <bed_prefix> <out_dir> \
+#            --calls name1=call1.vcf.gz [name2=call2.vcf.gz ...] \
+#            --truths name1=truth1.vcf.gz [...] \
+#            [--evalbeds name1=eval1.bed ...] \
+#            [--chrs chr20,chr21,chr22] [--jobs N] [--sdf template.sdf]
+#
+# <bed_prefix> points at the bed CLI's outputs: {prefix}_{0..6,all}.bed.
 set -euo pipefail
 
-truth=${1:?truth vcf}
-ref=${2:?ref fasta}
-bedpre=${3:?bed prefix (from the bed CLI)}
-outdir=${4:?output dir}
-shift 4
+ref=${1:?ref fasta}
+bedpre=${2:?bed prefix (from the bed CLI)}
+outdir=${3:?output dir}
+shift 3
+
+calls=(); truths=(); evalbeds=(); chrs=""; jobs=${HAPPY_JOBS:-25}; sdf=""
+mode=""
+while [ $# -gt 0 ]; do
+  case "$1" in
+    --calls) mode=c ;;
+    --truths) mode=t ;;
+    --evalbeds) mode=e ;;
+    --chrs) shift; chrs=$1 ;;
+    --jobs) shift; jobs=$1 ;;
+    --sdf) shift; sdf=$1 ;;
+    *) case "$mode" in
+         c) calls+=("$1") ;;
+         t) truths+=("$1") ;;
+         e) evalbeds+=("$1") ;;
+         *) echo "unexpected arg $1"; exit 1 ;;
+       esac ;;
+  esac
+  shift
+done
+[ ${#calls[@]} -gt 0 ] || { echo "need --calls"; exit 1; }
+[ ${#truths[@]} -gt 0 ] || { echo "need --truths"; exit 1; }
+[ ${#evalbeds[@]} -gt 0 ] || evalbeds=("evalall=")
 
 mkdir -p "$outdir"
-jobs=${HAPPY_JOBS:-$(nproc)}
+export HGREF="$ref"
 
-run_one() {
-  local call=$1 bed=$2 tag=$3
-  hap.py "$truth" "$call" \
-    -r "$ref" \
-    -T "$bed" \
-    -o "$outdir/$(basename "${call%.vcf*}")_${tag}" \
-    --engine vcfeval --pass-only
-}
-export -f run_one
-export truth ref outdir
-
-beds=()
-tags=()
+# stratum BEDs from the bed CLI, subset to the eval chromosomes
+# (reference :58-69 greps chr20-22 out of the genome-wide strata)
+beds=(); bednames=()
 for n in 0 1 2 3 4 5 6 all; do
   b="${bedpre}_${n}.bed"
-  [ -f "$b" ] && { beds+=("$b"); tags+=("np${n}"); }
+  [ -f "$b" ] || continue
+  name="np_${n}"
+  if [ -n "$chrs" ]; then
+    sub="$outdir/${name}_eval.bed"
+    tr ',' '\n' <<< "$chrs" | grep -w -f - "$b" > "$sub" || true
+    [ -s "$sub" ] || continue
+    beds+=("$sub")
+  else
+    beds+=("$b")
+  fi
+  bednames+=("$name")
 done
+[ ${#beds[@]} -gt 0 ] || { echo "no stratum beds at ${bedpre}_*.bed"; exit 1; }
 
-for call in "$@"; do
-  for i in "${!beds[@]}"; do
-    echo "run_one $call ${beds[$i]} ${tags[$i]}"
+run_one() {
+  local call=$1 cname=$2 truth=$3 tname=$4 bed=$5 bname=$6 ebed=$7 ename=$8
+  local extra=()
+  [ -n "$sdf" ] && extra+=(--engine-vcfeval-template "$sdf")
+  [ -n "$ebed" ] && extra+=(-R "$ebed")
+  hap.py "$truth" "$call" \
+      -r "$ref" \
+      -T "$bed" \
+      --roc QUAL \
+      --write-counts \
+      --engine vcfeval \
+      "${extra[@]}" \
+      -o "$outdir/${cname}-${bname}-${tname}-${ename}"
+  gunzip -f "$outdir/${cname}-${bname}-${tname}-${ename}".*.gz || true
+}
+export -f run_one
+export ref outdir sdf
+
+# full sweep (reference :85-100 uses GNU parallel -j25 the same way)
+sweep() {
+  for c in "${calls[@]}"; do
+    cname=${c%%=*}; call=${c#*=}
+    for t in "${truths[@]}"; do
+      tname=${t%%=*}; truth=${t#*=}
+      for i in "${!beds[@]}"; do
+        for e in "${evalbeds[@]}"; do
+          ename=${e%%=*}; ebed=${e#*=}
+          printf 'run_one %q %q %q %q %q %q %q %q\n' \
+            "$call" "$cname" "$truth" "$tname" \
+            "${beds[$i]}" "${bednames[$i]}" "$ebed" "$ename"
+        done
+      done
+    done
   done
-done | xargs -P "$jobs" -I{} bash -c '{}'
+}
+
+if command -v parallel >/dev/null 2>&1; then
+  sweep | parallel --joblog "$outdir/happy.log" -j "$jobs"
+else
+  sweep | xargs -P "$jobs" -I{} bash -c '{}'
+fi
