@@ -24,7 +24,8 @@ G_CALL = 8                      # programs per device call (G_CALL*W windows)
 _OPCH = np.frombuffer(b"=XID", dtype=np.uint8)
 def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
                     indel_extend: float, inf: float, max_n: int, max_l: int,
-                    interpret: bool, cont_cols, kmaxn, mesh=None):
+                    interpret: bool, cont_cols, kmaxn, mesh=None,
+                    sub_scores=None):
     """One jitted prepass+DP+TB chain: a single dispatch per group keeps
     the ~25ms-latency tunnel from being paid three times.
 
@@ -36,7 +37,8 @@ def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
     import jax
 
     from .prepass import make_prepass
-    prepass = make_prepass(r_pad, G, W, max_n, max_l, cont_cols, kmaxn)
+    prepass = make_prepass(r_pad, G, W, max_n, max_l, cont_cols, kmaxn,
+                           sub_scores=sub_scores)
     dp = get_dp_call(r_pad, G, r, indel_start, indel_extend, inf, max_n,
                      interpret, kmaxn)
     tb = get_tb_call(r_pad, G, interpret)
@@ -129,13 +131,23 @@ class PallasEngine:
     def align_batch(self, items) -> List[str]:
         """items: sequence with .ref/.seq int arrays and .cigar (expanded).
         Returns extended CIGARs over '=XID'."""
+        return self.align_batch_async(items)()
+
+    def align_batch_async(self, items):
+        """Submit a batch; returns a zero-arg collector.
+
+        Device work is dispatched asynchronously here, so the caller can
+        submit batch i+1 before collecting batch i — the realigner uses
+        this to overlap per-read host post-processing (slot decode,
+        normalization, SAM assembly) with the next batch's device compute
+        (the batched analog of the reference's pipelined pool workers,
+        src/realign.py:110-114)."""
         cfg = self.cfg
+        items = list(items)
         windows: List[Window] = []
         for i, it in enumerate(items):
             windows.extend(build_windows(it.ref, it.seq, it.cigar, cfg,
                                          aln_idx=i))
-        chunk_cigars: Dict[Tuple[int, int], str] = {}
-        bailed_alns = set()
 
         # bucket by padded row count
         by_r: Dict[int, List[Window]] = {}
@@ -153,6 +165,13 @@ class PallasEngine:
             for lo in range(0, len(wins), bw):
                 group = wins[lo:lo + bw]
                 pending.append((group, self._submit_group(group, r_pad)))
+
+        return lambda: self._finish_batch(items, pending)
+
+    def _finish_batch(self, items, pending) -> List[str]:
+        cfg = self.cfg
+        chunk_cigars: Dict[Tuple[int, int], str] = {}
+        bailed_alns = set()
         for group, handles in pending:
             out = self._collect_group(group, handles)
             for w, (cig, bail) in zip(group, out):
@@ -271,7 +290,7 @@ class PallasEngine:
             self._composites[key] = _make_composite(
                 r_pad, self.g_call, r, cfg.indel_start, cfg.indel_extend,
                 cfg.inf, max_n, cfg.max_l, self.interpret, self.cont_cols,
-                self.kmaxn, mesh=self.mesh)
+                self.kmaxn, mesh=self.mesh, sub_scores=self.sub_scores)
         run, packed16 = self._composites[key]
         dp_bail, tb_bail, slots = run(
             put(ref8), put(seq8), put(sd8), put(p0blk), put(p0c), put(p0r),

@@ -36,8 +36,12 @@ def ct_layout(max_n: int, kmaxn=KMAXN):
 
 
 def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
-                 cont_cols, kmaxn=KMAXN):
-    """cont_cols: build_cont_cols() output (numpy; embedded as constants)."""
+                 cont_cols, kmaxn=KMAXN, sub_scores=None):
+    """cont_cols: build_cont_cols() output (numpy; embedded as constants).
+    sub_scores: (5,5) float32; when given, 5 extra ref-bound planes
+    ``sub_scores[s, ref[pos]]`` are appended to the score tiles so the DP
+    kernel selects the substitution penalty with a 5-way select on the
+    seq base instead of a 25-way select on (seq, ref) pairs."""
     import jax
     import jax.numpy as jnp
     from ..ops.npinfo_device import np_info_device
@@ -101,8 +105,22 @@ def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
             parts.append(jax.lax.dot_general(
                 oh, tab2, (((2,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST))      # (B, npos, 2K+4)
-        g = jnp.concatenate(parts, axis=2)                # (B, nbl*128, QF)
-        cts = g.reshape(B, nblk, LANES, QF).swapaxes(2, 3)  # (B,nblk,QF,128)
+        QT = QF
+        if sub_scores is not None:
+            # sub planes: plane s holds sub_scores[s, ref[pos]] in the same
+            # lane-aligned layout (exact via the same one-hot matmul)
+            r_blk = jnp.take_along_axis(linr_lin[:, 0:1, :], pflat,
+                                        axis=2)[:, 0, :]   # (B, nbl*128)
+            oh_r = (r_blk[:, :, None] == jnp.arange(5, dtype=jnp.int32)
+                    ).astype(jnp.float32)
+            subT = jnp.asarray(np.ascontiguousarray(
+                np.asarray(sub_scores, np.float32).T))      # [r, s]
+            parts.append(jax.lax.dot_general(
+                oh_r, subT, (((2,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST))       # (B, npos, 5)
+            QT = QF + 5
+        g = jnp.concatenate(parts, axis=2)                # (B, nbl*128, QT)
+        cts = g.reshape(B, nblk, LANES, QT).swapaxes(2, 3)  # (B,nblk,QT,128)
 
         sd = jnp.concatenate(
             [sd8.astype(jnp.int32),

@@ -197,16 +197,34 @@ class Realigner:
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
+        # two-stage pipeline: batch i+1's device work is submitted before
+        # batch i's host post-processing (slot decode, normalization, SAM
+        # assembly), so the two overlap
+        pending = None
         while True:
             item = q.get()
             if item is None:
                 break
             if isinstance(item, BaseException):
                 raise item
-            yield from self._do_batch(item)
+            items, meta = self._prep_batch(item)
+            if self.engine == "pallas":
+                collect = self._pallas.align_batch_async(items)
+            else:
+                collect = (lambda its: lambda: self.align_batch(its))(items)
+            if pending is not None:
+                yield from self._emit_batch(*pending)
+            pending = (meta, collect)
+        if pending is not None:
+            yield from self._emit_batch(*pending)
         t.join()
 
     def _do_batch(self, reads: List[SamRecord]) -> Iterable[SamRecord]:
+        items, meta = self._prep_batch(reads)
+        return self._emit_batch(
+            meta, (lambda its: lambda: self.align_batch(its))(items))
+
+    def _prep_batch(self, reads: List[SamRecord]):
         items = []
         meta = []
         for read in reads:
@@ -228,7 +246,10 @@ class Realigner:
                 continue
             items.append(AlignItem(int_ref, int_seq, cig))
             meta.append((read, int_ref, int_seq))
-        new_cigars = self.align_batch(items)
+        return items, meta
+
+    def _emit_batch(self, meta, collect) -> Iterable[SamRecord]:
+        new_cigars = collect()
         for (read, int_ref, int_seq), new_cig in zip(meta, new_cigars):
             norm = normalize_cigar(new_cig, int_ref, int_seq)
             hap = int(read.get_tag("HP")) if read.has_tag("HP") else 0

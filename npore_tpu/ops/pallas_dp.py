@@ -38,6 +38,7 @@ import numpy as np
 MAT, INS, LEN, DEL, SHR = 0, 1, 2, 3, 4
 LANES = 128
 BLK = 48          # DP rows per block (coverage span 47+2r+14 <= 127)
+UNROLL = 1        # DP rows per loop body (must divide BLK)
 TBLK = 64         # traceback rows per block (2 blocks per 128-row tile)
 PAD0 = 48         # leading pad columns of linear tables
 W = 32            # windows per grid program
@@ -148,6 +149,7 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
     nblk = R_pad // BLK
     NL = 1 + 2 * max_n
     OFFS, QF = ct_layout(max_n, kmaxn)
+    QT = QF + 5       # + ref-bound substitution-score planes (prepass)
     F32, I32 = jnp.float32, jnp.int32
     big = np.float32(np.inf)
 
@@ -211,12 +213,15 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
         def qs(side, ni):
             return OFFS[side][ni]
 
-        def row_step(t, i, carry):
+        def row_step(t, i, carry, n_hi=max_n):
             (mv, mt, mr, lr, lav, lac, laa, sr, sav, sac, saa,
-             p_insv, p_insr, p_delv, p_delr, dels_now, dh, bail) = carry
+             p_insv, p_insr, p_delv, p_delr, dels_now, dh, bail,
+             steps_rot) = carry
 
-            step = jnp.sum(jnp.where(lane == i, steps_b[:, :], 0),
-                           axis=1, keepdims=True)
+            # lane 0 of the rolling steps tile holds this row's step: a
+            # static slice + static roll per row instead of a cross-lane
+            # one-hot reduction (~0.4us/row on this backend)
+            step = steps_rot[:, 0:1]
             dels_now = dels_now + step
 
             acol_base = dels_now - 64
@@ -287,9 +292,9 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                 len_r, len_av, len_ac, len_aa = zi, zf, zi, zi
                 shr_v = (arow + acol).astype(F32) * INF
                 shr_r, shr_av, shr_ac, shr_aa = zi, zf, zi, zi
-                bail_add = zi[:, 0:1]
+                bail_add = zi          # full-width: reduced once at the end
 
-                for n in range(max_n, 0, -1):
+                for n in range(n_hi, 0, -1):
                     ni = n - 1
                     KN = kmaxn[ni]          # fixed table layout offsets
                     KU = kuse[ni]           # ladder depth for this tier
@@ -340,8 +345,7 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                                                bigf))
                     ovf = ((~start_case) & cont_ok & valid & in_range & gap
                            & (lenav_src + lbv < len_v))
-                    bail_add = bail_add | jnp.max(ovf.astype(I32), axis=1,
-                                                  keepdims=True)
+                    bail_add = bail_add | ovf.astype(I32)
                     new_r = jnp.where(start_case, n, lenr_src + n)
                     new_av = jnp.where(start_case, matv_src, lenav_src)
                     new_ac = jnp.where(start_case, src_bcol, lenac_src)
@@ -391,8 +395,7 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                                                 bigf))
                     ovf2 = ((~start2) & cont_ok2 & valid2 & in_range & gap2
                             & (shrav_src + lbv2 < shr_v))
-                    bail_add = bail_add | jnp.max(ovf2.astype(I32), axis=1,
-                                                  keepdims=True)
+                    bail_add = bail_add | ovf2.astype(I32)
                     new_r2 = jnp.where(start2, n, shrr_src + n)
                     new_av2 = jnp.where(start2, matv_src2, shrav_src)
                     new_ac2 = jnp.where(start2, src_bcol2, shrac_src)
@@ -414,7 +417,7 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                 # k = run//n + 1 in (KSHORT, KMAXN]; k > KMAXN lanes use the
                 # SAT/LB path in both tiers
                 need = zi == 1
-                for n in range(1, max_n + 1):
+                for n in range(1, n_hi + 1):
                     ni = n - 1
                     if kmaxn[ni] > klo[ni]:
                         for runp in (lr[ni], sr[ni]):
@@ -434,12 +437,14 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
             matt_diag = roll(mt[1], 1)
             matr_diag = roll(mr[1], 1)
             sv = SEQ(0)
-            rv = REF(0)
+            # substitution penalty: the prepass baked sub_scores[s, ref[p]]
+            # into 5 ref-bound ct planes, so a 5-way select on the seq base
+            # replaces the 25-way (seq, ref) select (same 0.0 default for
+            # out-of-alphabet values)
             sub = zf
-            for a in range(5):
-                for b2 in range(5):
-                    sub = jnp.where((sv == a) & (rv == b2),
-                                    sub_s[0, a * 5 + b2], sub)
+            for s in range(5):
+                # roll +1: MAT consumes ref[acol-1]; ct planes bind at acol
+                sub = jnp.where(sv == s, roll(ct[:, QF + s, :], 1), sub)
             can_diag = (arow > 0) & (acol > 0)
             run_diag = jnp.where(matt_diag == MAT, matr_diag + 1, 1)
             v1 = jnp.where(can_diag, matv_diag + sub, del_v + INF)
@@ -491,7 +496,10 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
 
             packed_b[pl.ds(i, 1)] = (mat_t + (mat_r << 3))[None]
 
-            for q in range(NL):
+            # advance only the planes this block variant reads; stale
+            # planes are reloaded fresh at the next block boundary
+            for q in ([0] + [1 + ni for ni in range(n_hi)]
+                      + [1 + max_n + ni for ni in range(n_hi)]):
                 seq_b[:, q, :] = roll(seq_b[:, q, :], 1)
 
             return ((mat_v,) + mv[:max_n - 1],
@@ -501,15 +509,43 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                     (shr_r,) + sr[:max_n - 1], (shr_av,) + sav[:max_n - 1],
                     (shr_ac,) + sac[:max_n - 1], (shr_aa,) + saa[:max_n - 1],
                     ins_v, ins_r, del_v, del_r,
-                    dels_now, (dels_now,) + dh[:max_n - 1], bail)
+                    dels_now, (dels_now,) + dh[:max_n - 1], bail,
+                    roll(steps_rot, -1))
 
         def blk_body(b, carry):
             T0 = b * BLK
             load_block(b)
+            # rolling steps tile: fresh per block from the DMA'd tile
+            carry = carry[:-1] + (steps_b[:, :],)
 
-            def inner(i, c):
-                return row_step(T0 + i, i, c)
-            carry = jax.lax.fori_loop(0, BLK, inner, carry)
+            # manual 6-row unroll (= lcm of every carried history period:
+            # the 6-deep mv/lr/sav/... rotations and the 2-deep mt/mr):
+            # within the unrolled body the tuple rotations become SSA
+            # renames, so Mosaic stops copying ~40 carried (W,128) tiles
+            # through their loop slots every row
+            def run_rows(c, n_hi):
+                def inner(j, cc):
+                    i0 = j * UNROLL
+                    for k in range(UNROLL):
+                        cc = row_step(T0 + i0 + k, i0 + k, cc, n_hi)
+                    return cc
+                return jax.lax.fori_loop(0, BLK // UNROLL, inner, c)
+
+            if max_n > 1:
+                # period>=2 candidates require l_n > 0 at the candidate
+                # cell (LEN: ref+seq planes; SHR: ref plane), so a block
+                # whose loaded windows show no period-n repeat provably
+                # generates none: route it through a homopolymer-only row
+                # body (~6x fewer LEN/SHR ops). Exact by construction.
+                hi = zbuf[:] != 0
+                for ni in range(1, max_n):
+                    hi = (hi | (lin_b[:, 1 + ni, :] > 0)
+                          | (seq_b[:, 1 + ni, :] > 0))
+                carry = jax.lax.cond(jnp.any(hi),
+                                     lambda c: run_rows(c, max_n),
+                                     lambda c: run_rows(c, 1), carry)
+            else:
+                carry = run_rows(carry, max_n)
 
             cp = pltpu.make_async_copy(
                 packed_b, packed_o.at[g, pl.ds(T0, BLK)], sems.at[3])
@@ -534,10 +570,12 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                 zf0, zi0, zf0, zi0,
                 zc0,
                 tuple(zc0 for _ in range(max_n)),
-                zc0)
+                zi0,          # bail: full-width lane accumulator
+                zi0)          # rolling steps tile (re-seeded per block)
         nblk_eff = maxb // BLK + 1
         final = jax.lax.fori_loop(0, nblk_eff, blk_body, init)
-        bail_o[:, :] = jnp.broadcast_to(final[17], (W, 8))
+        bail_o[:, :] = jnp.broadcast_to(
+            jnp.max(final[17], axis=1, keepdims=True), (W, 8))
 
     call = pl.pallas_call(
         dp_kernel,
@@ -575,7 +613,7 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
             pltpu.VMEM((W, NL, 2, LANES), np.int32),   # seq2_b
             pltpu.VMEM((W, NL, LANES), np.int32),
             pltpu.VMEM((W, NL, LANES), np.int32),
-            pltpu.VMEM((W, QF, LANES), np.float32),
+            pltpu.VMEM((W, QT, LANES), np.float32),
             pltpu.VMEM((W, LANES), np.int32),
             pltpu.VMEM((BLK, W, LANES), np.int32),
             pltpu.VMEM((W, LANES), np.int32),
