@@ -12,7 +12,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..config import AlignConfig
-from ..ops.pallas_dp import (BLK, KMAXN, LANES, RQ, TBLK, W,
+from ..ops.pallas_dp import (BLK, KMAXN, LANES, MAXB_Q, RQ, TBLK, W,
                              build_cont_cols, get_dp_call, get_tb_call)
 
 # interpret mode (CPU tests) uses modest k coverage: the unrolled selects
@@ -282,7 +282,7 @@ class PallasEngine:
             sidx = A_OFF - (inss[np.minimum(tb_T1, last)] + r + 2)
             s1c[g, wl] = sidx // LANES
             s1r[g, wl] = sidx % LANES
-        maxb[:, 0] = ((max_rows + RQ - 1) // RQ) * RQ - 1
+        maxb[:, 0] = ((max_rows + MAXB_Q - 1) // MAXB_Q) * MAXB_Q - 1
         maxb[:, 0] = np.minimum(maxb[:, 0], r_pad - 1)
 
         key = r_pad

@@ -19,7 +19,7 @@ import numpy as np
 
 from ..config import AlignConfig
 from ..constants import bases_to_int
-from ..io.cigar import collapse_cigar, expand_cigar, normalize_cigar
+from ..io.cigar import expand_cigar, finalize_cigar
 from ..io.sam import SamRecord
 from .windows import Window, build_windows, pack_batch
 
@@ -251,13 +251,15 @@ class Realigner:
     def _emit_batch(self, meta, collect) -> Iterable[SamRecord]:
         new_cigars = collect()
         for (read, int_ref, int_seq), new_cig in zip(meta, new_cigars):
-            norm = normalize_cigar(new_cig, int_ref, int_seq)
+            norm = finalize_cigar(new_cig, int_ref, int_seq)
             hap = int(read.get_tag("HP")) if read.has_tag("HP") else 0
-            # output line fields per reference (src/bam.pyx:83)
+            # output line fields per reference (src/bam.pyx:83);
+            # tlen = reference_end - pos = the aligned reference span,
+            # which is exactly len(int_ref) (the MD-reconstructed window)
             yield SamRecord(
                 qname=read.qname, flag=read.flag, rname=read.rname,
-                pos=read.pos, mapq=read.mapq, cigar=collapse_cigar(norm),
-                rnext="*", pnext=0, tlen=read.reference_end - read.pos,
+                pos=read.pos, mapq=read.mapq, cigar=norm,
+                rnext="*", pnext=0, tlen=len(int_ref),
                 seq=read.query_alignment_sequence.upper(),
                 qual=read.query_alignment_qualities_str,
                 tags={"HP": ("i", hap)})

@@ -152,3 +152,58 @@ def normalize_cigar(cigar: str, int_ref: np.ndarray, int_seq: np.ndarray) -> str
             if np.array_equal(old, int_cig):
                 break
     return int_to_cig(int_cig).replace("ID", "M")
+
+
+# extended-cigar chars -> {M,I,D} int ops with X/= folded into M
+_EXT2MID_LUT = np.full(256, 255, dtype=np.uint8)
+for _ch, _op in (("M", OP_M), ("I", OP_I), ("D", OP_D),
+                 ("X", OP_M), ("=", OP_M)):
+    _EXT2MID_LUT[ord(_ch)] = _op
+_MID_TRANS = bytes("MID", "ascii") + bytes(253)
+
+
+def finalize_cigar(extended: str, int_ref: np.ndarray,
+                   int_seq: np.ndarray) -> str:
+    """normalize_cigar + collapse_cigar fused into one codec pass
+    (reference: src/bam.pyx:64-83 normalize-then-write).
+
+    Equivalent to ``collapse_cigar(normalize_cigar(extended, ...))`` but
+    skips the intermediate string round-trips: chars -> int ops (X/= -> M),
+    native left-normalize fixpoint, vectorized 'ID' -> 'M' pair fusion,
+    run-length encode. This is the realigner's per-read hot path.
+    """
+    raw = np.frombuffer(extended.encode("ascii"), dtype=np.uint8)
+    int_cig = _EXT2MID_LUT[raw]
+    if (int_cig == 255).any():
+        bad = extended[int(np.argmax(int_cig == 255))]
+        raise ValueError(f"invalid CIGAR op {bad!r}")
+    from ..native import normalize_cigar_ints
+    fast = normalize_cigar_ints(int_cig, int_ref, int_seq)
+    if fast is not None:
+        int_cig = fast
+    else:
+        while True:
+            old = int_cig.copy()
+            int_cig = push_indels_left(int_cig, int_ref, OP_D)
+            int_cig = push_inss_thru_dels(int_cig)
+            int_cig = push_indels_left(int_cig, int_seq, OP_I)
+            int_cig = push_inss_thru_dels(int_cig)
+            if np.array_equal(old, int_cig):
+                break
+    n = len(int_cig)
+    if n == 0:
+        return ""
+    if n > 1:
+        # 'ID' pairs fuse to 'M'; pairs can never overlap (a pair's D can't
+        # start another pair), so one vectorized pass matches str.replace
+        pair = np.flatnonzero((int_cig[:-1] == OP_I) & (int_cig[1:] == OP_D))
+        if len(pair):
+            int_cig[pair] = OP_M
+            keep = np.ones(n, dtype=bool)
+            keep[pair + 1] = False
+            int_cig = int_cig[keep]
+    cuts = np.flatnonzero(int_cig[1:] != int_cig[:-1]) + 1
+    starts = np.concatenate(([0], cuts))
+    lens = np.diff(np.concatenate((starts, [len(int_cig)]))).tolist()
+    ops = int_cig[starts].tobytes().translate(_MID_TRANS).decode("ascii")
+    return "".join(f"{c}{o}" for c, o in zip(lens, ops))

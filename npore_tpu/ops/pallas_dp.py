@@ -43,6 +43,8 @@ TBLK = 64         # traceback rows per block (2 blocks per 128-row tile)
 PAD0 = 48         # leading pad columns of linear tables
 W = 32            # windows per grid program
 RQ = 384          # R_pad quantum
+MAXB_Q = 192      # runtime row-count quantum: lcm(BLK, TBLK), so the
+                  # dynamic block loops in both kernels divide evenly
 
 OP_EQ, OP_X, OP_I, OP_D = 0, 1, 2, 3
 

@@ -6,9 +6,9 @@ import pytest
 
 from npore_tpu.constants import bases_to_int, cig_to_int, int_to_bases, int_to_cig
 from npore_tpu.io.bam import BamReader
-from npore_tpu.io.cigar import (collapse_cigar, expand_cigar, normalize_cigar,
-                                push_indels_left, push_inss_thru_dels,
-                                ref_len, seq_len)
+from npore_tpu.io.cigar import (collapse_cigar, expand_cigar, finalize_cigar,
+                                normalize_cigar, push_indels_left,
+                                push_inss_thru_dels, ref_len, seq_len)
 from npore_tpu.io.fasta import FastaFile
 from npore_tpu.io.sam import SamReader, parse_sam_line
 
@@ -43,6 +43,26 @@ def test_push_inss_thru_dels():
     cig = cig_to_int("MDDIIM")
     out = push_inss_thru_dels(cig.copy())
     assert int_to_cig(out) == "MIIDDM"
+
+
+def test_finalize_cigar_matches_normalize_collapse():
+    """finalize_cigar must equal collapse(normalize(...)) on random
+    ref/seq/cigar triples (the realigner's fused hot path)."""
+    rng = np.random.default_rng(7)
+    for _ in range(300):
+        n_ops = int(rng.integers(1, 120))
+        ops = rng.choice(list("MIDX="), size=n_ops,
+                         p=[0.55, 0.13, 0.13, 0.13, 0.06])
+        ext = "".join(ops)
+        n_seq = sum(c in "MIX=" for c in ext)
+        n_ref = sum(c in "MDX=" for c in ext)
+        # low-cardinality alphabet maximizes shiftable periodic contexts
+        int_seq = rng.integers(1, 3, n_seq).astype(np.uint8)
+        int_ref = rng.integers(1, 3, n_ref).astype(np.uint8)
+        want = collapse_cigar(normalize_cigar(ext, int_ref, int_seq))
+        got = finalize_cigar(ext, int_ref, int_seq)
+        assert got == want, (ext, got, want)
+    assert finalize_cigar("", np.zeros(0, np.uint8), np.zeros(0, np.uint8)) == ""
 
 
 def test_fasta(data_dir):
