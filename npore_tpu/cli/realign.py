@@ -103,10 +103,18 @@ def main(argv=None) -> int:
     ref_fa = FastaFile(cfg.ref)
     bam = open_alignment_file(cfg.bam)
     regions = get_bam_regions(cfg, ref_fa, bam)
+    stripe = False
     if num_hosts > 1:
-        regions = shard_regions(regions, num_hosts, host_id)
-        print(f"    host {host_id}/{num_hosts}: {len(regions)} region "
-              f"shards")
+        if len(regions) >= num_hosts:
+            regions = shard_regions(regions, num_hosts, host_id)
+            print(f"    host {host_id}/{num_hosts}: {len(regions)} region "
+                  f"shards")
+        else:
+            # fewer regions than hosts: fall back to read-level striping
+            # (all hosts stream all regions, keep every num_hosts-th read)
+            stripe = True
+            print(f"    host {host_id}/{num_hosts}: read-stripe mode "
+                  f"({len(regions)} regions < {num_hosts} hosts)")
 
     # auto-recalculate stats when any matrix is missing (src/realign.py:124-128)
     have_all = all(os.path.isfile(os.path.join(cfg.stats_dir, f"{n}_cm.npy"))
@@ -157,6 +165,9 @@ def main(argv=None) -> int:
         prof = args.profile_dir
     realigner = Realigner(sub_scores, np_scores, cfg.align, engine=cfg.engine)
     reads = get_read_data(bam, regions, cfg.max_reads)
+    if stripe:
+        from ..parallel.distributed import stripe_reads
+        reads = stripe_reads(reads, num_hosts, host_id)
     n = 0
     with open(out_path, "w") as fh:
         for line in header:

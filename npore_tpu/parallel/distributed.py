@@ -44,6 +44,13 @@ def init_distributed(coordinator: Optional[str] = None,
         raise ValueError("--coordinator (or JAX_COORDINATOR_ADDRESS) is "
                          "required for multi-host runs")
     import jax
+    # CPU backends need an explicit cross-process collectives transport
+    # (TPU rides ICI/DCN natively); gloo is the one shipped with jax
+    if jax.config.jax_platforms and "cpu" in str(jax.config.jax_platforms):
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_hosts,
                                process_id=host_id)
@@ -59,6 +66,19 @@ def shard_regions(regions: Sequence[Tuple[str, int, int]], num_hosts: int,
     hosts without communication."""
     ordered = sorted(regions)
     return [r for i, r in enumerate(ordered) if i % num_hosts == host_id]
+
+
+def stripe_reads(reads, num_hosts: int, host_id: int):
+    """Deterministic read-level round-robin shard.
+
+    Fallback for when hosts outnumber regions (e.g. one contig, N hosts):
+    every host streams the same region list — reads arrive in the same
+    deterministic coordinate order on all hosts — and keeps every
+    ``num_hosts``-th read. Duplicate-free by construction; decode cost is
+    replicated, so region sharding is preferred whenever regions >= hosts."""
+    for i, r in enumerate(reads):
+        if i % num_hosts == host_id:
+            yield r
 
 
 def barrier(name: str = "npore") -> None:
