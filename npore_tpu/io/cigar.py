@@ -170,8 +170,13 @@ def finalize_cigar(extended: str, int_ref: np.ndarray,
     Equivalent to ``collapse_cigar(normalize_cigar(extended, ...))`` but
     skips the intermediate string round-trips: chars -> int ops (X/= -> M),
     native left-normalize fixpoint, vectorized 'ID' -> 'M' pair fusion,
-    run-length encode. This is the realigner's per-read hot path.
+    run-length encode. This is the realigner's per-read hot path; with a
+    compiler the whole pass runs in one C++ call.
     """
+    from ..native import finalize_cigar_native
+    done = finalize_cigar_native(extended, int_ref, int_seq)
+    if done is not None:
+        return done
     raw = np.frombuffer(extended.encode("ascii"), dtype=np.uint8)
     int_cig = _EXT2MID_LUT[raw]
     if (int_cig == 255).any():

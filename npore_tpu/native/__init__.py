@@ -60,6 +60,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_int8),
                     ctypes.POINTER(ctypes.c_int8)]
                 lib.normalize_cigar.restype = ctypes.c_int32
+                lib.finalize_cigar.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int8),
+                    ctypes.POINTER(ctypes.c_int8),
+                    ctypes.POINTER(ctypes.c_uint8)]
+                lib.finalize_cigar.restype = ctypes.c_int64
                 lib.golden_align.argtypes = [
                     ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
                     ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
@@ -106,6 +112,28 @@ def normalize_cigar_ints(cig: np.ndarray, int_ref: np.ndarray,
         ref8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         seq8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
     return cig
+
+
+def finalize_cigar_native(extended: str, int_ref: np.ndarray,
+                          int_seq: np.ndarray) -> Optional[str]:
+    """One-call CIGAR finalization (normalize fixpoint + 'ID'->'M' fusion
+    + run-length encode; reference: src/bam.pyx:64-83). Returns None
+    without a compiler; raises ValueError on an invalid op char."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ext = np.frombuffer(extended.encode("ascii"), dtype=np.uint8)
+    ref8 = np.ascontiguousarray(int_ref, dtype=np.int8)
+    seq8 = np.ascontiguousarray(int_seq, dtype=np.int8)
+    out = np.empty(12 * max(len(ext), 1) + 16, dtype=np.uint8)
+    n = lib.finalize_cigar(
+        ext.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(ext),
+        ref8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        seq8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if n < 0:
+        raise ValueError(f"invalid CIGAR op in {extended[:40]!r}...")
+    return out[:n].tobytes().decode("ascii")
 
 
 def golden_align_native(full_ref: np.ndarray, full_seq: np.ndarray,

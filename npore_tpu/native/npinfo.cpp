@@ -7,6 +7,7 @@
 //
 // Built as a shared library and bound with ctypes (no pybind11 in the image).
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <vector>
 
@@ -139,6 +140,53 @@ int32_t normalize_cigar(uint8_t* cig, int64_t n, const int8_t* ref,
         if (std::memcmp(prev.data(), cig, n) == 0) break;
     }
     return iters;
+}
+
+// Full realigner CIGAR finalization (reference: src/bam.pyx:64-83):
+// extended chars ('MIDX=') -> int ops with X/= folded into M, fixpoint
+// left-normalization, 'ID' pair fusion to 'M' (left-to-right,
+// non-overlapping, = str.replace semantics), run-length encode into
+// `out` ("12M3I..."). Returns the output byte length, or -1 on an
+// invalid op char. `out` must hold >= 12*n + 16 bytes.
+int64_t finalize_cigar(const uint8_t* ext, int64_t n, const int8_t* ref,
+                       const int8_t* seq, uint8_t* out) {
+    if (n == 0) return 0;
+    std::vector<uint8_t> cig(n);
+    for (int64_t i = 0; i < n; i++) {
+        switch (ext[i]) {
+            case 'M': case 'X': case '=': cig[i] = OPM; break;
+            case 'I': cig[i] = OPI; break;
+            case 'D': cig[i] = OPD; break;
+            default: return -1;
+        }
+    }
+    normalize_cigar(cig.data(), n, ref, seq);
+    // fuse 'ID' -> 'M' in place (pairs cannot overlap: a pair's D never
+    // starts another pair)
+    int64_t w = 0;
+    for (int64_t i = 0; i < n; ) {
+        if (cig[i] == OPI && i + 1 < n && cig[i + 1] == OPD) {
+            cig[w++] = OPM;
+            i += 2;
+        } else {
+            cig[w++] = cig[i++];
+        }
+    }
+    static const char kOps[3] = {'M', 'I', 'D'};
+    int64_t o = 0;
+    for (int64_t i = 0; i < w; ) {
+        int64_t j = i;
+        while (j < w && cig[j] == cig[i]) j++;
+        int64_t cnt = j - i;
+        char buf[24];
+        int len = std::snprintf(buf, sizeof(buf), "%lld",
+                                static_cast<long long>(cnt));
+        std::memcpy(out + o, buf, len);
+        o += len;
+        out[o++] = kOps[cig[i]];
+        i = j;
+    }
+    return o;
 }
 
 }  // extern "C"

@@ -45,9 +45,15 @@ def test_push_inss_thru_dels():
     assert int_to_cig(out) == "MIIDDM"
 
 
-def test_finalize_cigar_matches_normalize_collapse():
+@pytest.mark.parametrize("native", [True, False])
+def test_finalize_cigar_matches_normalize_collapse(native, monkeypatch):
     """finalize_cigar must equal collapse(normalize(...)) on random
-    ref/seq/cigar triples (the realigner's fused hot path)."""
+    ref/seq/cigar triples (the realigner's fused hot path), via both the
+    one-call C++ implementation and the numpy fallback."""
+    if not native:  # force the numpy fallback path
+        import npore_tpu.native as nat
+        monkeypatch.setattr(nat, "finalize_cigar_native",
+                            lambda *a: None)
     rng = np.random.default_rng(7)
     for _ in range(300):
         n_ops = int(rng.integers(1, 120))
