@@ -14,9 +14,33 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 from ..config import AlignConfig
-from ..golden.align import get_breaks, get_dels, get_inss
+from ..golden.align import get_breaks
 from ..ops.band_dp import PADL, build_start_tables
 from ..ops.npinfo_host import get_np_info_vec
+
+_IS_M = np.zeros(256, dtype=bool)
+for _c in "MX=":
+    _IS_M[ord(_c)] = True
+
+
+def path_inss(cigar: str) -> np.ndarray:
+    """Prefix-I counts along the reparameterized path, computed directly
+    from the expanded CIGAR without materializing the 'DI'-doubled string
+    (reference: src/aln.pyx:279-292 after the :386 M->DI rewrite). Each
+    'M'/'X'/'=' contributes a D step then an I step; 'I'/'D' one step.
+    Identical to golden.align.get_inss(cigar.replace(M-like, "DI"))."""
+    raw = np.frombuffer(cigar.encode("ascii"), dtype=np.uint8)
+    m = _IS_M[raw]
+    sizes = m.astype(np.int64) + 1
+    ends = np.cumsum(sizes)
+    n2 = int(ends[-1]) if len(ends) else 0
+    starts = ends - sizes
+    is_i = np.zeros(n2, dtype=bool)
+    is_i[starts[m] + 1] = True                 # the I of each D,I pair
+    is_i[starts[raw == ord("I")]] = True
+    inss = np.zeros(n2 + 1, dtype=np.int64)
+    np.cumsum(is_i, out=inss[1:])
+    return inss
 
 
 @dataclass
@@ -36,9 +60,10 @@ def build_windows(full_ref: np.ndarray, full_seq: np.ndarray, cigar: str,
                   cfg: AlignConfig, aln_idx: int = 0) -> List[Window]:
     """Split one alignment into independent chunk windows
     (reference: src/aln.pyx:386-455)."""
-    cigar = cigar.replace("X", "DI").replace("=", "DI").replace("M", "DI")
-    inss = get_inss(cigar)
-    dels = get_dels(cigar)
+    inss = path_inss(cigar)
+    # every path step is I or D after the M->DI rewrite, so the prefix-D
+    # counts are just step-index minus prefix-I counts
+    dels = np.arange(len(inss), dtype=np.int64) - inss
     breaks = get_breaks(cfg.max_b_rows, len(full_seq) + len(full_ref) + 1,
                         inss, dels)
     out = []

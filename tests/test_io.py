@@ -71,6 +71,23 @@ def test_finalize_cigar_matches_normalize_collapse(native, monkeypatch):
     assert finalize_cigar("", np.zeros(0, np.uint8), np.zeros(0, np.uint8)) == ""
 
 
+def test_path_inss_matches_golden():
+    """windows.path_inss == golden get_inss over the 'DI'-rewritten string,
+    and prefix-D counts are index - prefix-I (every step is I or D)."""
+    from npore_tpu.engine.windows import path_inss
+    from npore_tpu.golden.align import get_dels, get_inss
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        n = int(rng.integers(1, 300))
+        cig = "".join(rng.choice(list("MIDX="), size=n,
+                                 p=[.5, .15, .15, .15, .05]))
+        c2 = cig.replace("X", "DI").replace("=", "DI").replace("M", "DI")
+        got = path_inss(cig)
+        assert np.array_equal(get_inss(c2), got)
+        assert np.array_equal(get_dels(c2),
+                              np.arange(len(got)) - got)
+
+
 def test_fasta(data_dir):
     fa = FastaFile(os.path.join(data_dir, "ref.fasta"))
     assert fa.references == ["ref"]
