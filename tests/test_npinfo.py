@@ -2,6 +2,22 @@
 (reference: src/aln.pyx:182-203 docstring, test/get_np_info.py)."""
 import numpy as np
 
+
+def test_debug_printers():
+    """dump / print_np_info equivalents (reference: src/aln.pyx:791-865)."""
+    from npore_tpu.constants import bases_to_int
+    from npore_tpu.golden.debug import format_np_info, render_alignment
+    txt = render_alignment("ACGTAAA", "ACTTAA", "==X=DI=D")
+    lines = txt.splitlines()
+    assert "Cigar: ==X=DI=D" in txt
+    assert lines[-4:-1] == ["ACGTA-AA", "||X|  | ", "ACTT-AA-"]
+    import pytest
+    with pytest.raises(ValueError):
+        render_alignment("A", "A", "Q")
+    np_txt = format_np_info(bases_to_int("CAAAGAAAGAAAG"), 4)
+    assert "n=1 l: 0 3 3 3 0 3 3 3 0 3 3 3 0" in np_txt
+    assert "n=4 l: 0 3 0 0 0 3 0 0 0 3 0 0 0" in np_txt
+
 from npore_tpu.constants import bases_to_int
 from npore_tpu.golden.npinfo import get_np_info, L, L_IDX
 
