@@ -176,8 +176,15 @@ class Realigner:
         releases the GIL), overlapping host decode with device compute —
         the batched analog of the reference's reader/worker pool split
         (src/realign.py:110-114)."""
+        import os
         import queue
         import threading
+        from time import perf_counter
+
+        timing = os.environ.get("NPORE_TIMING") == "1"
+        t_sub = t_emit = t_wait = 0.0
+        t_coll = [0.0]          # device-result wait inside emit
+        n_done = 0
 
         q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
 
@@ -202,22 +209,44 @@ class Realigner:
         # assembly), so the two overlap
         pending = None
         while True:
+            t0 = perf_counter()
             item = q.get()
+            t_wait += perf_counter() - t0
             if item is None:
                 break
             if isinstance(item, BaseException):
                 raise item
+            t0 = perf_counter()
             items, meta = self._prep_batch(item)
             if self.engine == "pallas":
                 collect = self._pallas.align_batch_async(items)
             else:
                 collect = (lambda its: lambda: self.align_batch(its))(items)
+            t_sub += perf_counter() - t0
+            if timing:
+                def collect(c=collect):
+                    c0 = perf_counter()
+                    res = c()
+                    t_coll[0] += perf_counter() - c0
+                    return res
             if pending is not None:
+                t0 = perf_counter()
                 yield from self._emit_batch(*pending)
+                t_emit += perf_counter() - t0
+                n_done += len(pending[0])
             pending = (meta, collect)
         if pending is not None:
+            t0 = perf_counter()
             yield from self._emit_batch(*pending)
+            t_emit += perf_counter() - t0
+            n_done += len(pending[0])
         t.join()
+        if timing and n_done:
+            us = 1e6 / n_done
+            print(f"    [timing] per read: submit {t_sub*us:.0f}us, "
+                  f"collect-wait {t_coll[0]*us:.0f}us, "
+                  f"finalize+emit {(t_emit-t_coll[0])*us:.0f}us, "
+                  f"decode-wait {t_wait*us:.0f}us", flush=True)
 
     def _do_batch(self, reads: List[SamRecord]) -> Iterable[SamRecord]:
         items, meta = self._prep_batch(reads)
