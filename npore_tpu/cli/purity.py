@@ -47,11 +47,16 @@ def argparser() -> argparse.ArgumentParser:
     p.add_argument("--plot_only", action="store_true",
                    help="Re-plot from cached .npy scores without reading "
                         "the BAMs (reference: src/purity.py:196-207).")
+    p.add_argument("--device_gini", action="store_true",
+                   help="Compute the per-column Gini on the accelerator "
+                        "(batched integer moments; new, no reference "
+                        "equivalent — replaces the per-column mp.Pool of "
+                        "src/purity.py:190-191).")
     return p
 
 
-def compute_purity(column: str) -> Optional[Tuple[float, float]]:
-    """Gini purity of one mpileup column string
+def _parse_column(column: str) -> Tuple[dict, dict]:
+    """Tokenize one mpileup column into base and insertion counts
     (reference: src/purity.py:11-84)."""
     bases = defaultdict(int)
     inss = defaultdict(int)
@@ -77,6 +82,13 @@ def compute_purity(column: str) -> Optional[Tuple[float, float]]:
             i = j + skip
         else:
             i += 1      # N / mismatch-case chars: ignore
+    return bases, inss
+
+
+def compute_purity(column: str) -> Optional[Tuple[float, float]]:
+    """Gini purity of one mpileup column string
+    (reference: src/purity.py:11-84)."""
+    bases, inss = _parse_column(column)
     n = sum(bases.values())
     if not n:
         return None
@@ -85,6 +97,64 @@ def compute_purity(column: str) -> Optional[Tuple[float, float]]:
     ins_score = (not_inss / n) ** 2 + sum((v / n) ** 2
                                           for v in inss.values())
     return base_score, ins_score
+
+
+INS_SLOTS = 8        # distinct insertion sequences per column on the device
+                     # path; deeper columns fall back to the host formula
+
+
+def column_counts(column: str):
+    """Integer count vectors for the device Gini: (base_counts[5] over
+    'ACGT*', ins_counts[INS_SLOTS]) or None when the column is empty or
+    has more than INS_SLOTS distinct insertion sequences."""
+    bases, inss = _parse_column(column)
+    if not sum(bases.values()) or len(inss) > INS_SLOTS:
+        return None
+    b = np.array([bases[c] for c in "ACGT*"], np.int32)
+    iv = np.zeros(INS_SLOTS, np.int32)
+    for k, v in enumerate(inss.values()):
+        iv[k] = v
+    return b, iv
+
+
+def gini_moments_device(base_counts: np.ndarray, ins_counts: np.ndarray,
+                        mesh=None) -> Tuple[np.ndarray, ...]:
+    """Vectorized per-column Gini moments on device (the TPU analog of
+    the reference's per-column mp.Pool, src/purity.py:190-191).
+
+    Integer moments keep the device math exact: returns
+    (n, sumsq_base, not_ins, sumsq_ins) int32 vectors; the final f64
+    divisions happen on host (one division per score instead of the host
+    path's per-term divisions, so values agree with compute_purity to
+    within 1 ulp). Shardable over a 1-D data mesh (columns are
+    independent)."""
+    import jax
+    import jax.numpy as jnp
+
+    def moments(b, iv):
+        n = jnp.sum(b, axis=1)
+        ssb = jnp.sum(b * b, axis=1)
+        not_ins = n - jnp.sum(iv, axis=1)
+        ssi = jnp.sum(iv * iv, axis=1)
+        return n, ssb, not_ins, ssi
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        moments = jax.shard_map(moments, mesh=mesh,
+                                in_specs=(P("data"), P("data")),
+                                out_specs=(P("data"),) * 4)
+    fn = jax.jit(moments)
+    n, ssb, ni, ssi = fn(jnp.asarray(base_counts), jnp.asarray(ins_counts))
+    return (np.asarray(n), np.asarray(ssb), np.asarray(ni),
+            np.asarray(ssi))
+
+
+def purity_from_moments(n, ssb, not_ins, ssi) -> np.ndarray:
+    nf = n.astype(np.float64)
+    base = ssb.astype(np.float64) / (nf * nf)
+    ins = (not_ins.astype(np.float64) ** 2 + ssi.astype(np.float64)) \
+        / (nf * nf)
+    return np.stack([base, ins], axis=1)
 
 
 CHUNK = 100_000          # pileup chunk width: bounds per-worker memory
@@ -113,9 +183,32 @@ def _purity_chunk(job):
     return out
 
 
+def _counts_chunk(job):
+    """Pool worker for the device path: per-column integer counts, with
+    host scores inline for columns the fixed-width layout can't hold."""
+    bam_path, ctg, b, e, min_bq = job
+    key = (os.getpid(), bam_path)
+    bam = _purity_bams.get(key)
+    if bam is None:
+        _purity_bams.clear()
+        bam = open_alignment_file(bam_path, prep=False)
+        _purity_bams[key] = bam
+    out = []
+    for pos, col in pileup_columns(bam, ctg, b, e, min_bq=min_bq):
+        c = column_counts(col)
+        if c is not None:
+            out.append(c)
+        else:
+            s = compute_purity(col)
+            if s is not None:
+                out.append(s)           # (float, float) host fallback
+    return out
+
+
 def bam_purity(bam_path: str, contig: Optional[str], beg: Optional[int],
                end: Optional[int], min_bq: int,
-               processes: int = 0) -> np.ndarray:
+               processes: int = 0, device: bool = False,
+               mesh=None) -> np.ndarray:
     bam = open_alignment_file(bam_path, prep=False)
     contigs = [contig] if contig else bam.references
     lengths = dict(zip(bam.references, bam.lengths))
@@ -128,17 +221,41 @@ def bam_purity(bam_path: str, contig: Optional[str], beg: Optional[int],
             jobs.append((bam_path, ctg, lo, min(lo + CHUNK, e), min_bq))
     if processes == 0:
         processes = min(os.cpu_count() or 1, len(jobs) or 1)
-    scores: List[Tuple[float, float]] = []
+    worker = _counts_chunk if device else _purity_chunk
+    entries: List = []
     if processes > 1 and len(jobs) > 1:
         import multiprocessing as mp
         ctx = mp.get_context("fork")
         with ctx.Pool(processes) as pool:
-            for part in pool.imap(_purity_chunk, jobs):
-                scores.extend(part)
+            for part in pool.imap(worker, jobs):
+                entries.extend(part)
     else:
         for job in jobs:
-            scores.extend(_purity_chunk(job))
-    return np.asarray(scores, dtype=np.float64).reshape(-1, 2)
+            entries.extend(worker(job))
+    if not device:
+        return np.asarray(entries, dtype=np.float64).reshape(-1, 2)
+
+    # device path: batch all parsed columns through one jitted Gini op,
+    # splicing host-fallback scores back at their column positions
+    idx = [i for i, e in enumerate(entries) if isinstance(e[0], np.ndarray)]
+    scores = np.empty((len(entries), 2), np.float64)
+    for i, e in enumerate(entries):
+        if not isinstance(e[0], np.ndarray):
+            scores[i] = e
+    if idx:
+        nb = len(idx)
+        # pad the batch so compiled-shape count stays small (and so a
+        # mesh shard divides evenly); pad columns have n=1 and are cut
+        npad = -nb % (mesh.size if mesh is not None else 256)
+        bmat = np.ones((nb + npad, 5), np.int32)
+        imat = np.zeros((nb + npad, INS_SLOTS), np.int32)
+        for k, i in enumerate(idx):
+            bmat[k] = entries[i][0]
+            imat[k] = entries[i][1]
+        n, ssb, ni, ssi = gini_moments_device(bmat, imat, mesh=mesh)
+        dev = purity_from_moments(n[:nb], ssb[:nb], ni[:nb], ssi[:nb])
+        scores[idx] = dev
+    return scores
 
 
 def _bin_counts(scores_list) -> np.ndarray:
@@ -219,7 +336,8 @@ def main(argv=None) -> int:
         else:
             t0 = perf_counter()
             scores = bam_purity(bam_path, args.contig, args.contig_beg,
-                                args.contig_end, args.min_bq)
+                                args.contig_end, args.min_bq,
+                                device=args.device_gini)
             np.save(cache, scores)
             print(f"    {name}: {len(scores)} columns, mean base purity "
                   f"{scores[:, 0].mean():.4f}, mean ins purity "

@@ -59,6 +59,40 @@ def test_cli_bed_e2e(tmp_path, data_dir):
         assert e1 == b2, "gap or overlap in _all + _0 partition"
 
 
+def test_purity_device_matches_host(data_dir):
+    """The batched device Gini (integer moments, SURVEY §2.4 per-column
+    row) must reproduce the host per-column formula, including the
+    fixed-width fallback path and under a sharded mesh."""
+    import jax
+    from npore_tpu.cli.purity import (INS_SLOTS, bam_purity, column_counts,
+                                      compute_purity, gini_moments_device,
+                                      purity_from_moments)
+    bam = os.path.join(data_dir, "reads.bam")
+    host = bam_purity(bam, None, None, None, 13, processes=1)
+    dev = bam_purity(bam, None, None, None, 13, processes=1, device=True)
+    assert host.shape == dev.shape and len(host) > 0
+    assert np.allclose(host, dev, rtol=0, atol=1e-12)
+
+    from npore_tpu.parallel.mesh import make_data_mesh
+    mesh = make_data_mesh(jax.devices("cpu")[:8])
+    msh = bam_purity(bam, None, None, None, 13, processes=1, device=True,
+                     mesh=mesh)
+    assert np.array_equal(dev, msh)
+
+    # deep-ins column exceeds INS_SLOTS -> host fallback, still scored
+    col = "".join(f"A+{len(s)}{s}" for s in
+                  ("T", "TT", "TTT", "GG", "GGG", "C", "CC", "CCC", "AAC"))
+    assert column_counts(col) is None
+    assert compute_purity(col) is not None
+
+    # moment math equals the per-term formula on a crafted column
+    b, iv = column_counts("^KA$AA+2TTC")
+    n, ssb, ni, ssi = gini_moments_device(b[None], iv[None])
+    got = purity_from_moments(n, ssb, ni, ssi)[0]
+    want = compute_purity("^KA$AA+2TTC")
+    assert np.allclose(got, want, atol=1e-15)
+
+
 def test_cli_purity_e2e(tmp_path, data_dir):
     bam = os.path.join(data_dir, "reads.bam")
     pre = str(tmp_path / "pur")
