@@ -139,6 +139,11 @@ class PallasEngine:
         self._sub = sub_pad
         self._sub_on = {}               # device -> resident score table
         self.bail_count = 0
+        from concurrent.futures import ThreadPoolExecutor
+        # one submitter thread keeps dispatch order (and so device queue
+        # order) deterministic while decoupling it from the caller
+        self._pool = ThreadPoolExecutor(max_workers=1,
+                                        thread_name_prefix="npore-submit")
 
     # ------------------------------------------------------------------
     def align_batch(self, items) -> List[str]:
@@ -168,16 +173,19 @@ class PallasEngine:
             by_r.setdefault(_r_pad_for(w.b_rows + 1, cfg.max_b_rows),
                             []).append(w)
 
-        # submit every group first (device executes asynchronously, so
-        # packing of group i+1 overlaps compute/transfers of group i),
-        # then collect + decode in order
+        # submit every group from a dedicated thread: the batch packing and
+        # the tunneled dispatch (which can block while transfers/executions
+        # drain, releasing the GIL) overlap the caller's host work — slot
+        # decode, CIGAR finalization, SAM assembly of earlier batches
         pending = []
         for r_pad, wins in sorted(by_r.items()):
             wins.sort(key=lambda w: w.b_rows)
             bw = self.n_shards * self.g_call * W
             for lo in range(0, len(wins), bw):
                 group = wins[lo:lo + bw]
-                pending.append((group, self._submit_group(group, r_pad)))
+                pending.append(
+                    (group, self._pool.submit(self._submit_group, group,
+                                              r_pad)))
 
         return lambda: self._finish_batch(items, pending)
 
@@ -185,8 +193,8 @@ class PallasEngine:
         cfg = self.cfg
         chunk_cigars: Dict[Tuple[int, int], str] = {}
         bailed_alns = set()
-        for group, handles in pending:
-            out = self._collect_group(group, handles)
+        for group, fut in pending:
+            out = self._collect_group(group, fut.result())
             for w, (cig, bail) in zip(group, out):
                 if bail:
                     bailed_alns.add(w.key[0])
