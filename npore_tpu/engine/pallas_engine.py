@@ -139,11 +139,19 @@ class PallasEngine:
         self._sub = sub_pad
         self._sub_on = {}               # device -> resident score table
         self.bail_count = 0
+        import threading
         from concurrent.futures import ThreadPoolExecutor
-        # one submitter thread keeps dispatch order (and so device queue
-        # order) deterministic while decoupling it from the caller
-        self._pool = ThreadPoolExecutor(max_workers=1,
-                                        thread_name_prefix="npore-submit")
+        # two submitter threads: group i+1's batch packing overlaps group
+        # i's (possibly blocking) tunneled dispatch. Groups are mutually
+        # independent and futures are collected in submission order, so
+        # results stay deterministic regardless of execution interleaving.
+        # Interpret mode keeps one: its kernels execute as GIL-bound host
+        # work, where a second thread only adds contention.
+        self._pool = ThreadPoolExecutor(
+            max_workers=1 if self.interpret else 2,
+            thread_name_prefix="npore-submit")
+        self._compile_lock = threading.Lock()
+        self._warm = set()              # shapes whose first run completed
 
     # ------------------------------------------------------------------
     def align_batch(self, items) -> List[str]:
@@ -319,13 +327,24 @@ class PallasEngine:
 
         key = r_pad
         if key not in self._composites:
-            self._composites[key] = _make_composite(
-                r_pad, self.g_call, r, cfg.indel_start, cfg.indel_extend,
-                cfg.inf, max_n, cfg.max_l, self.interpret, self.cont_cols,
-                self.kmaxn, mesh=self.mesh, sub_scores=self.sub_scores)
+            with self._compile_lock:    # compile each shape exactly once
+                if key not in self._composites:
+                    self._composites[key] = _make_composite(
+                        r_pad, self.g_call, r, cfg.indel_start,
+                        cfg.indel_extend, cfg.inf, max_n, cfg.max_l,
+                        self.interpret, self.cont_cols, self.kmaxn,
+                        mesh=self.mesh, sub_scores=self.sub_scores)
         run, packed16 = self._composites[key]
-        dp_bail, tb_bail, slots = run(
-            put(big8), put(p0blk), put(idx32), sub_dev)
+        if key not in self._warm:
+            # serialize the first (compiling) execution of each shape so
+            # concurrent submitters never duplicate a multi-minute compile
+            with self._compile_lock:
+                dp_bail, tb_bail, slots = run(
+                    put(big8), put(p0blk), put(idx32), sub_dev)
+                self._warm.add(key)
+        else:
+            dp_bail, tb_bail, slots = run(
+                put(big8), put(p0blk), put(idx32), sub_dev)
         return (dp_bail, tb_bail, slots, mb, packed16)
 
     def _collect_group(self, group: Sequence[Window], handles):
