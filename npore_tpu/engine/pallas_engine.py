@@ -49,7 +49,7 @@ def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
     # the host packs every small per-group plane into ONE int32 transfer
     # (idx32) and the three int8 planes into another (big8): one tunneled
     # H2D per kind instead of 15 (each put pays ~25ms tunnel latency)
-    def run(big8, p0, idx32, sub):
+    def run(big8, idx32, sub):
         ref8, seq8 = big8[0], big8[1]
         sd8 = big8[2].reshape(-1, W, big8.shape[2])
         o = 0
@@ -58,6 +58,7 @@ def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
             v = idx32[:, :, o:o + n]
             o += n
             return v
+        p0 = take(nblk).reshape(-1, nblk)
         p0c, p0r, s0c, s0r = (take(nblk) for _ in range(4))
         p1c, p1r, s1c, s1r = (take(ntb) for _ in range(4))
         scal = take(8)
@@ -78,7 +79,7 @@ def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
         def spec(a_ndim):
             return P(*(("data",) + (None,) * (a_ndim - 1)))
 
-        in_specs = (P(None, "data", None), spec(2), spec(3), P(None, None))
+        in_specs = (P(None, "data", None), spec(3), P(None, None))
         out_specs = (spec(3), spec(3), spec(4))
         run = shard_map(run, mesh=mesh, in_specs=in_specs,
                         out_specs=out_specs, check_vma=False)
@@ -274,7 +275,7 @@ class PallasEngine:
         ref8 = big8[0]
         seq8 = big8[1]
         sd8 = big8[2].reshape(G, W, r_pad)
-        NIDX = 4 * nblk + 4 * ntb + 9
+        NIDX = 5 * nblk + 4 * ntb + 9
         idx32 = np.zeros((G, W, NIDX), np.int32)
         o = 0
         def _take(n):
@@ -282,11 +283,11 @@ class PallasEngine:
             v = idx32[:, :, o:o + n]
             o += n
             return v
+        p0blk = _take(nblk)             # (G, W, nblk) view; run() flattens
         p0c, p0r, s0c, s0r = (_take(nblk) for _ in range(4))
         p1c, p1r, s1c, s1r = (_take(ntb) for _ in range(4))
         scal = _take(8)
         maxb = idx32[:, :, o:o + 1]     # broadcast per-W; run() reads [:,0]
-        p0blk = np.zeros((B, nblk), np.int32)
 
         blk_T0 = np.arange(nblk, dtype=np.int64) * BLK
         tb_T0 = np.arange(ntb, dtype=np.int64) * TBLK
@@ -308,7 +309,7 @@ class PallasEngine:
 
             last = R_w - 1
             T0s = np.minimum(blk_T0, last)
-            p0blk[j] = dels[T0s] - r - 7
+            p0blk[g, wl] = dels[T0s] - r - 7
             idx = dels[T0s] - r - 7 + PADL
             p0c[g, wl] = idx // LANES
             p0r[g, wl] = idx % LANES
@@ -340,11 +341,11 @@ class PallasEngine:
             # concurrent submitters never duplicate a multi-minute compile
             with self._compile_lock:
                 dp_bail, tb_bail, slots = run(
-                    put(big8), put(p0blk), put(idx32), sub_dev)
+                    put(big8), put(idx32), sub_dev)
                 self._warm.add(key)
         else:
             dp_bail, tb_bail, slots = run(
-                put(big8), put(p0blk), put(idx32), sub_dev)
+                put(big8), put(idx32), sub_dev)
         return (dp_bail, tb_bail, slots, mb, packed16)
 
     def _collect_group(self, group: Sequence[Window], handles):
