@@ -363,16 +363,30 @@ class PallasEngine:
             full[..., 1::2] = hi
             slots = full
 
+        # decode all windows of the group in one vectorized pass: slot
+        # tiles beyond the processed rows are never written by the TB
+        # kernel, so truncate at maxb, then expand every (op|count<<2)
+        # slot with a single np.repeat and split by per-window char counts
+        G = slots.shape[0]
+        cigs: List[str] = []
+        for g in range(G):
+            vec = np.ascontiguousarray(
+                slots[g].transpose(1, 0, 2)).reshape(W, -1)[:, :maxb + 1]
+            mask = vec != 0
+            flat = vec[mask]
+            counts = flat >> 2
+            chars = np.repeat(_OPCH[flat & 3], counts)
+            wid = np.repeat(np.arange(W), mask.sum(axis=1))
+            per_w = np.bincount(wid, weights=counts,
+                                minlength=W).astype(np.int64)
+            bounds = np.zeros(W + 1, np.int64)
+            np.cumsum(per_w, out=bounds[1:])
+            cb = chars.tobytes()
+            cigs.extend(cb[bounds[k]:bounds[k + 1]].decode("ascii")
+                        for k in range(W))
         out = []
         for j, w in enumerate(group):
             g, wl = divmod(j, W)
-            # slot tiles beyond the group's processed rows are never
-            # written by the TB kernel -- truncate before decoding
-            vec = slots[g, :, wl, :].reshape(-1)[:maxb + 1]
-            nz = np.flatnonzero(vec)
-            ops = vec[nz] & 3
-            counts = vec[nz] >> 2
-            cig = np.repeat(_OPCH[ops], counts).tobytes().decode("ascii")
             bail = bool(dp_bail[g, wl] or tb_bail[g, wl])
-            out.append((cig, bail))
+            out.append((cigs[g * W + wl], bail))
         return out
