@@ -37,10 +37,12 @@ def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
     import jax
 
     from .prepass import make_prepass
+    import os
     prepass = make_prepass(r_pad, G, W, max_n, max_l, cont_cols, kmaxn,
                            sub_scores=sub_scores)
+    unroll = int(os.environ.get("NPORE_DP_UNROLL", "0"))
     dp = get_dp_call(r_pad, G, r, indel_start, indel_extend, inf, max_n,
-                     interpret, kmaxn)
+                     interpret, kmaxn, unroll)
     tb = get_tb_call(r_pad, G, interpret)
     packed16 = r_pad * 4 + 4 < (1 << 16)
     nblk = r_pad // BLK

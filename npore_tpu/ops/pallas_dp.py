@@ -38,7 +38,10 @@ import numpy as np
 MAT, INS, LEN, DEL, SHR = 0, 1, 2, 3, 4
 LANES = 128
 BLK = 48          # DP rows per block (coverage span 47+2r+14 <= 127)
-UNROLL = 1        # DP rows per loop body (must divide BLK)
+UNROLL = 1        # default DP rows per loop body (must divide BLK);
+                  # override per-process with NPORE_DP_UNROLL (6 = lcm of
+                  # every carried history period — turns the tuple
+                  # rotations into SSA renames inside the unrolled body)
 TBLK = 64         # traceback rows per block (2 blocks per 128-row tile)
 PAD0 = 48         # leading pad columns of linear tables
 W = 32            # windows per grid program
@@ -136,8 +139,13 @@ def build_cont_lanes(np_scores: np.ndarray, max_n: int = 6, max_l: int = 100,
 @functools.lru_cache(maxsize=None)
 def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                 indel_extend: float, inf: float, max_n: int,
-                interpret: bool, kmaxn=KMAXN):
-    """Build the jittable DP pallas_call for (R_pad, G)-shaped batches."""
+                interpret: bool, kmaxn=KMAXN, unroll: int = 0):
+    """Build the jittable DP pallas_call for (R_pad, G)-shaped batches.
+    ``unroll=0`` means the module default; callers resolve any env
+    override BEFORE calling (this function is lru_cached on its args)."""
+    if unroll == 0:
+        unroll = UNROLL
+    assert BLK % unroll == 0, f"unroll {unroll} must divide BLK={BLK}"
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -527,11 +535,11 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
             # through their loop slots every row
             def run_rows(c, n_hi):
                 def inner(j, cc):
-                    i0 = j * UNROLL
-                    for k in range(UNROLL):
+                    i0 = j * unroll
+                    for k in range(unroll):
                         cc = row_step(T0 + i0 + k, i0 + k, cc, n_hi)
                     return cc
-                return jax.lax.fori_loop(0, BLK // UNROLL, inner, c)
+                return jax.lax.fori_loop(0, BLK // unroll, inner, c)
 
             if max_n > 1:
                 # period>=2 candidates require l_n > 0 at the candidate

@@ -85,3 +85,18 @@ def test_mini_fuzz_parity(kmid_engine, score_matrices):
     rng = np.random.default_rng(5)
     cases = [make_case(rng) for _ in range(6)]
     _parity(kmid_engine, score_matrices, cases)
+
+
+def test_unroll6_bit_exact(score_matrices, monkeypatch):
+    """NPORE_DP_UNROLL=6 (the SSA-rename row unroll) must stay bit-exact
+    on deep-repeat cases through the same two-tier ladder."""
+    monkeypatch.setenv("NPORE_DP_UNROLL", "6")
+    sub_scores, np_scores, _, _ = score_matrices
+    eng = PallasEngine(sub_scores, np_scores, AlignConfig(),
+                       interpret=True, kmaxn=KMID)
+    rng = np.random.default_rng(11)
+    cases = [make_case(rng) for _ in range(3)]
+    ref = "CG" + "A" * 16 + "TTGCA"
+    seq = "CG" + "A" * 12 + "TTGCA"
+    cases.append((ref, seq, "==" + "=" * 12 + "DDDD====="))
+    _parity(eng, score_matrices, cases)
