@@ -1,0 +1,33 @@
+"""Smoke coverage for the shell pipeline wrappers: every script must parse
+(bash -n) and fail fast with its usage message when called bare — the
+reference's scripts are hardcoded-cluster-path files with no checks at all,
+so arg validation is this repo's added surface. The tools they drive
+(minimap2/samtools/whatshap/clair3/hap.py) are deployment dependencies not
+present in this image; functional runs happen on a cluster."""
+import os
+import subprocess
+
+import pytest
+
+SCRIPTS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "scripts")
+
+SHELL = ["align.sh", "happy.sh", "realign_pipeline.sh", "calc_beds.sh",
+         "purity.sh"]
+
+
+@pytest.mark.parametrize("name", SHELL)
+def test_bash_syntax(name):
+    out = subprocess.run(["bash", "-n", os.path.join(SCRIPTS, name)],
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+
+
+@pytest.mark.parametrize("name", ["align.sh", "happy.sh",
+                                  "realign_pipeline.sh"])
+def test_arg_check_fails_fast(name):
+    out = subprocess.run(["bash", os.path.join(SCRIPTS, name)],
+                         capture_output=True, text=True, timeout=30)
+    assert out.returncode != 0
+    # set -u parameter messages name the missing argument
+    assert out.stderr.strip(), name
