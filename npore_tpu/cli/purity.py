@@ -103,12 +103,18 @@ INS_SLOTS = 8        # distinct insertion sequences per column on the device
                      # path; deeper columns fall back to the host formula
 
 
+_I32_SAFE_N = 46_000   # sum of squares stays < 2^31 while n <= 46340
+
+
 def column_counts(column: str):
     """Integer count vectors for the device Gini: (base_counts[5] over
-    'ACGT*', ins_counts[INS_SLOTS]) or None when the column is empty or
-    has more than INS_SLOTS distinct insertion sequences."""
+    'ACGT*', ins_counts[INS_SLOTS]) or None when the column is empty, has
+    more than INS_SLOTS distinct insertion sequences, or is deep enough
+    that int32 square sums could overflow (those fall back to the exact
+    host formula)."""
     bases, inss = _parse_column(column)
-    if not sum(bases.values()) or len(inss) > INS_SLOTS:
+    n = sum(bases.values())
+    if not n or n > _I32_SAFE_N or len(inss) > INS_SLOTS:
         return None
     b = np.array([bases[c] for c in "ACGT*"], np.int32)
     iv = np.zeros(INS_SLOTS, np.int32)
@@ -162,19 +168,25 @@ CHUNK = 100_000          # pileup chunk width: bounds per-worker memory
 _purity_bams = {}
 
 
-def _purity_chunk(job):
-    """Pool worker: purity scores of one (bam, contig, beg, end) chunk.
-    Bounded memory: only one chunk's columns are ever materialized
-    (reference fans chunks over mp.Pool the same way, src/purity.py:182-191)."""
-    bam_path, ctg, b, e, min_bq = job
-    # keyed by PID: forked children must never reuse a parent's handle
-    # (the underlying fd offset is shared across fork)
+def _chunk_bam(bam_path: str):
+    """Per-process BAM handle cache, keyed by PID: forked children must
+    never reuse a parent's handle (the underlying fd offset is shared
+    across fork)."""
     key = (os.getpid(), bam_path)
     bam = _purity_bams.get(key)
     if bam is None:
         _purity_bams.clear()
         bam = open_alignment_file(bam_path, prep=False)
         _purity_bams[key] = bam
+    return bam
+
+
+def _purity_chunk(job):
+    """Pool worker: purity scores of one (bam, contig, beg, end) chunk.
+    Bounded memory: only one chunk's columns are ever materialized
+    (reference fans chunks over mp.Pool the same way, src/purity.py:182-191)."""
+    bam_path, ctg, b, e, min_bq = job
+    bam = _chunk_bam(bam_path)
     out = []
     for pos, col in pileup_columns(bam, ctg, b, e, min_bq=min_bq):
         s = compute_purity(col)
@@ -187,12 +199,7 @@ def _counts_chunk(job):
     """Pool worker for the device path: per-column integer counts, with
     host scores inline for columns the fixed-width layout can't hold."""
     bam_path, ctg, b, e, min_bq = job
-    key = (os.getpid(), bam_path)
-    bam = _purity_bams.get(key)
-    if bam is None:
-        _purity_bams.clear()
-        bam = open_alignment_file(bam_path, prep=False)
-        _purity_bams[key] = bam
+    bam = _chunk_bam(bam_path)
     out = []
     for pos, col in pileup_columns(bam, ctg, b, e, min_bq=min_bq):
         c = column_counts(col)

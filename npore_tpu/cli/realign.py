@@ -124,8 +124,14 @@ def main(argv=None) -> int:
     if recalc:
         print("> calculating confusion matrices")
         from ..engine.stats import calc_confusion_matrices_bam
+        # stats must shard by REGION even in read-stripe mode: each count
+        # contributes once globally or the allreduce multiplies every
+        # count by num_hosts, which shifts the eps-smoothed score
+        # matrices (model/scores.py) vs a single-host run
+        stat_regions = (shard_regions(regions, num_hosts, host_id)
+                        if stripe else regions)
         subs, nps, inss, dels = calc_confusion_matrices_bam(
-            bam_path=cfg.bam, ref_fa=ref_fa, regions=regions, cfg=cfg)
+            bam_path=cfg.bam, ref_fa=ref_fa, regions=stat_regions, cfg=cfg)
         if num_hosts > 1:      # all-reduce each host's region-shard counts
             from ..parallel.distributed import allreduce_counts
             subs, nps, inss, dels = allreduce_counts([subs, nps, inss, dels])

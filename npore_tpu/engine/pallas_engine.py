@@ -22,6 +22,16 @@ from .windows import Window, build_windows
 
 G_CALL = 8                      # programs per device call (G_CALL*W windows)
 _OPCH = np.frombuffer(b"=XID", dtype=np.uint8)
+
+
+def _idx_layout(nblk: int, ntb: int):
+    """Single source of truth for the packed idx32 plane order: the host
+    packer (_submit_group) and the traced unpacker (run) both iterate
+    this, so the layouts can never diverge."""
+    return (("p0blk", nblk),
+            ("p0c", nblk), ("p0r", nblk), ("s0c", nblk), ("s0r", nblk),
+            ("p1c", ntb), ("p1r", ntb), ("s1c", ntb), ("s1r", ntb),
+            ("scal", 8), ("maxb", 1))
 def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
                     indel_extend: float, inf: float, max_n: int, max_l: int,
                     interpret: bool, cont_cols, kmaxn, mesh=None,
@@ -54,17 +64,18 @@ def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
     def run(big8, idx32, sub):
         ref8, seq8 = big8[0], big8[1]
         sd8 = big8[2].reshape(-1, W, big8.shape[2])
+        planes = {}
         o = 0
-        def take(n):
-            nonlocal o
-            v = idx32[:, :, o:o + n]
-            o += n
-            return v
-        p0 = take(nblk).reshape(-1, nblk)
-        p0c, p0r, s0c, s0r = (take(nblk) for _ in range(4))
-        p1c, p1r, s1c, s1r = (take(ntb) for _ in range(4))
-        scal = take(8)
-        maxb = idx32[:, 0, o:o + 1]
+        for name, width in _idx_layout(nblk, ntb):
+            planes[name] = idx32[:, :, o:o + width]
+            o += width
+        p0 = planes["p0blk"].reshape(-1, nblk)
+        p0c, p0r, s0c, s0r = (planes[k] for k in
+                              ("p0c", "p0r", "s0c", "s0r"))
+        p1c, p1r, s1c, s1r = (planes[k] for k in
+                              ("p1c", "p1r", "s1c", "s1r"))
+        scal = planes["scal"]
+        maxb = planes["maxb"][:, 0]
         linr, lins, steps, cts = prepass(ref8, seq8, sd8, p0)
         dp_bail, packed = dp(p0c, p0r, s0c, s0r, maxb, sub, scal,
                              steps, linr, lins, cts)
@@ -154,7 +165,8 @@ class PallasEngine:
             max_workers=1 if self.interpret else 2,
             thread_name_prefix="npore-submit")
         self._compile_lock = threading.Lock()
-        self._warm = set()              # shapes whose first run completed
+        self._state_lock = threading.Lock()   # guards _rr / _sub_on
+        self._warm = set()      # (shape, device) whose first run completed
 
     # ------------------------------------------------------------------
     def align_batch(self, items) -> List[str]:
@@ -247,16 +259,18 @@ class PallasEngine:
         import jax.numpy as jnp
 
         if self.mesh is not None:
+            dev = None
             put = lambda a: np.asarray(a)   # jit/shard_map places shards
             sub_dev = self._sub
         else:
-            dev = self.devices[self._rr % len(self.devices)]
-            self._rr += 1
+            with self._state_lock:          # submitter threads share _rr
+                dev = self.devices[self._rr % len(self.devices)]
+                self._rr += 1
+                sub_dev = self._sub_on.get(dev)
+                if sub_dev is None:         # static table: transfer once
+                    sub_dev = jax.device_put(self._sub, dev)
+                    self._sub_on[dev] = sub_dev
             put = lambda a: jax.device_put(np.asarray(a), dev)
-            sub_dev = self._sub_on.get(dev)
-            if sub_dev is None:             # static table: transfer once
-                sub_dev = jax.device_put(self._sub, dev)
-                self._sub_on[dev] = sub_dev
 
         cfg = self.cfg
         max_n = cfg.max_n
@@ -277,19 +291,20 @@ class PallasEngine:
         ref8 = big8[0]
         seq8 = big8[1]
         sd8 = big8[2].reshape(G, W, r_pad)
-        NIDX = 5 * nblk + 4 * ntb + 9
-        idx32 = np.zeros((G, W, NIDX), np.int32)
+        layout = _idx_layout(nblk, ntb)
+        idx32 = np.zeros((G, W, sum(w_ for _, w_ in layout)), np.int32)
+        planes = {}
         o = 0
-        def _take(n):
-            nonlocal o
-            v = idx32[:, :, o:o + n]
-            o += n
-            return v
-        p0blk = _take(nblk)             # (G, W, nblk) view; run() flattens
-        p0c, p0r, s0c, s0r = (_take(nblk) for _ in range(4))
-        p1c, p1r, s1c, s1r = (_take(ntb) for _ in range(4))
-        scal = _take(8)
-        maxb = idx32[:, :, o:o + 1]     # broadcast per-W; run() reads [:,0]
+        for name, width in layout:
+            planes[name] = idx32[:, :, o:o + width]
+            o += width
+        p0blk = planes["p0blk"]         # (G, W, nblk) view; run() flattens
+        p0c, p0r, s0c, s0r = (planes[k] for k in
+                              ("p0c", "p0r", "s0c", "s0r"))
+        p1c, p1r, s1c, s1r = (planes[k] for k in
+                              ("p1c", "p1r", "s1c", "s1r"))
+        scal = planes["scal"]
+        maxb = planes["maxb"]           # broadcast per-W; run() reads [:,0]
 
         blk_T0 = np.arange(nblk, dtype=np.int64) * BLK
         tb_T0 = np.arange(ntb, dtype=np.int64) * TBLK
@@ -338,13 +353,14 @@ class PallasEngine:
                         self.interpret, self.cont_cols, self.kmaxn,
                         mesh=self.mesh, sub_scores=self.sub_scores)
         run, packed16 = self._composites[key]
-        if key not in self._warm:
-            # serialize the first (compiling) execution of each shape so
-            # concurrent submitters never duplicate a multi-minute compile
+        if (key, dev) not in self._warm:
+            # serialize the first (compiling) execution of each
+            # (shape, device) so concurrent submitters never duplicate a
+            # multi-minute compile
             with self._compile_lock:
                 dp_bail, tb_bail, slots = run(
                     put(big8), put(idx32), sub_dev)
-                self._warm.add(key)
+                self._warm.add((key, dev))
         else:
             dp_bail, tb_bail, slots = run(
                 put(big8), put(idx32), sub_dev)

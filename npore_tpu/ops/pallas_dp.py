@@ -145,7 +145,9 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
     override BEFORE calling (this function is lru_cached on its args)."""
     if unroll == 0:
         unroll = UNROLL
-    assert BLK % unroll == 0, f"unroll {unroll} must divide BLK={BLK}"
+    if unroll < 1 or BLK % unroll != 0:     # not assert: env-driven value,
+        raise ValueError(                   # must fail under python -O too
+            f"NPORE_DP_UNROLL/unroll={unroll} must divide BLK={BLK}")
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl

@@ -45,12 +45,14 @@ def init_distributed(coordinator: Optional[str] = None,
                          "required for multi-host runs")
     import jax
     # CPU backends need an explicit cross-process collectives transport
-    # (TPU rides ICI/DCN natively); gloo is the one shipped with jax
-    if jax.config.jax_platforms and "cpu" in str(jax.config.jax_platforms):
-        try:
-            jax.config.update("jax_cpu_collectives_implementation", "gloo")
-        except Exception:
-            pass
+    # (TPU rides ICI/DCN natively); gloo is the one shipped with jax.
+    # Set it unconditionally: the flag only affects the CPU backend, so
+    # it is a no-op on TPU runs, and a default-platform CPU host (no
+    # explicit jax_platforms) still gets working collectives.
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_hosts,
                                process_id=host_id)

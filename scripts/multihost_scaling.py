@@ -48,27 +48,38 @@ def _run_config(n_hosts: int, args, workdir: str):
            args.stats_dir, "--out_prefix", pre, "--engine", args.engine]
     if args.max_reads:
         cli += ["--max_reads", str(args.max_reads)]
+    # worker stdout goes to files, not pipes: hosts synchronize at a
+    # cross-host barrier before exiting, so a host blocked on a full
+    # pipe (>64KB of progress/warning lines) would deadlock the job
     procs = []
+    logs = []
     for h in range(n_hosts):
         cmd = [sys.executable, os.path.abspath(__file__), "--worker"] + cli
         if n_hosts > 1:
             cmd += ["--num_hosts", str(n_hosts), "--host_id", str(h),
                     "--coordinator", f"localhost:{port}"]
+        log = os.path.join(workdir, f"host{h}_of{n_hosts}.log")
+        logs.append(log)
         procs.append(subprocess.Popen(
-            cmd, cwd=REPO, stdout=subprocess.PIPE,
+            cmd, cwd=REPO, stdout=open(log, "w"),
             stderr=subprocess.STDOUT, text=True))
     stage = 0.0
-    for h, p in enumerate(procs):
-        out, _ = p.communicate(timeout=900)
-        if p.returncode != 0:
-            sys.stderr.write(out)
-            raise RuntimeError(f"host {h}/{n_hosts} exited "
-                               f"{p.returncode}")
-        m = re.search(r"runtime: ([0-9.]+)s", out)
-        if not m:
-            sys.stderr.write(out)
-            raise RuntimeError(f"host {h}: no runtime line")
-        stage = max(stage, float(m.group(1)))  # slowest host gates the job
+    try:
+        for h, p in enumerate(procs):
+            rc = p.wait(timeout=900)
+            out = open(logs[h]).read()
+            if rc != 0:
+                sys.stderr.write(out)
+                raise RuntimeError(f"host {h}/{n_hosts} exited {rc}")
+            m = re.search(r"runtime: ([0-9.]+)s", out)
+            if not m:
+                sys.stderr.write(out)
+                raise RuntimeError(f"host {h}: no runtime line")
+            stage = max(stage, float(m.group(1)))  # slowest host gates
+    finally:
+        for p in procs:        # never leave orphaned workers behind
+            if p.poll() is None:
+                p.kill()
     return pre + ".sam", stage
 
 
