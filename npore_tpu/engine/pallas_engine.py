@@ -278,12 +278,10 @@ class PallasEngine:
         G = self.n_shards * self.g_call     # global programs per dispatch
         B = G * W
         NL = 1 + 2 * max_n
-        P2 = r_pad + 512
         PADL = 128            # leading pad (multiple of 128 keeps lane binding)
         A_OFF = r_pad + 128   # reversed seq side: position a at col A_OFF - a
         nblk = r_pad // BLK
         ntb = r_pad // TBLK
-        NT = r_pad // LANES
 
         # one int8 pack (ref | seq | step-deltas) and one int32 pack of all
         # the small index/scalar planes: 2 tunneled H2D per group, not 15
