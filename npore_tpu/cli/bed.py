@@ -44,6 +44,9 @@ def argparser() -> argparse.ArgumentParser:
     p.add_argument("--max_l", type=int, default=100)
     p.add_argument("--out_prefix", required=True,
                    help="Output BED file prefix.")
+    p.add_argument("--processes", type=int, default=0,
+                   help="Chunk-scan worker processes (0 = all cores; "
+                        "reference: src/bed.py:161-162 mp.Pool).")
     return p
 
 
@@ -149,6 +152,23 @@ def save_np_region_beds(np_regions, args, max_n: int, slop: int = 1) -> None:
     print(f"    runtime: {perf_counter()-t0:.2f}s")
 
 
+_job_fastas = {}
+
+
+def _np_regions_job(job):
+    """Pool worker: repeat regions of one reference chunk. FASTA handles
+    are pid-keyed — forked children never reuse a parent's handle."""
+    ref_path, ctg, lo, hi, max_n = job
+    key = (os.getpid(), ref_path)
+    fa = _job_fastas.get(key)
+    if fa is None:
+        _job_fastas.clear()
+        fa = FastaFile(ref_path)
+        _job_fastas[key] = fa
+    seq = bases_to_int(fa.fetch(ctg, lo, hi).upper())
+    return get_np_regions(seq.astype(np.uint8), ctg, lo, max_n)
+
+
 def main(argv=None) -> int:
     args = argparser().parse_args(argv)
     ref_fa = FastaFile(args.ref)
@@ -174,14 +194,20 @@ def main(argv=None) -> int:
 
     print("> computing n-polymer regions")
     t0 = perf_counter()
-    np_regions = []
     cw = args.chunk_width
+    jobs = []
     for ctg, start, stop in regions:
         for lo in range(start, stop, cw):
-            hi = min(lo + cw, stop)
-            seq = bases_to_int(ref_fa.fetch(ctg, lo, hi).upper())
-            np_regions.append(
-                get_np_regions(seq.astype(np.uint8), ctg, lo, args.max_n))
+            jobs.append((args.ref, ctg, lo, min(lo + cw, stop), args.max_n))
+    procs = args.processes or min(os.cpu_count() or 1, len(jobs) or 1)
+    if procs > 1 and len(jobs) > 1:
+        # chunk-parallel scan (reference: src/bed.py:161-162 pool.map);
+        # ordered map keeps output deterministic
+        import multiprocessing as mp
+        with mp.get_context("fork").Pool(procs) as pool:
+            np_regions = pool.map(_np_regions_job, jobs)
+    else:
+        np_regions = [_np_regions_job(j) for j in jobs]
     print(f"    runtime: {perf_counter()-t0:.2f}s")
 
     save_np_region_beds(np_regions, args, args.max_n)

@@ -58,6 +58,23 @@ def test_cli_bed_e2e(tmp_path, data_dir):
     for (b1, e1), (b2, e2) in zip(ivals, ivals[1:]):
         assert e1 == b2, "gap or overlap in _all + _0 partition"
 
+    # chunk-parallel scan (multiple chunks over a process pool) must give
+    # byte-identical BEDs to the serial single-chunk run
+    pre2 = str(tmp_path / "np_par")
+    rc = bed_main(["--ref", ref, "--bed", str(bed), "--out_prefix", pre2,
+                   "--max_n", "3", "--chunk_width", "200",
+                   "--processes", "3"])
+    assert rc == 0
+    for suffix in ["_1", "_2", "_3"]:
+        par = _read_bed(pre2 + suffix + ".bed")
+        ser = _read_bed(pre + suffix + ".bed")
+        # chunking clips repeats at chunk boundaries (reference does the
+        # same, src/bed.py:56-76), so compare coverage of interior runs
+        for c, b, e in ser:
+            assert any(pb <= b and e <= pe or  # fully covered, or split
+                       (pb <= b < pe or pb < e <= pe)
+                       for _, pb, pe in par), (suffix, b, e)
+
 
 def test_purity_device_matches_host(data_dir):
     """The batched device Gini (integer moments, SURVEY §2.4 per-column
