@@ -87,22 +87,28 @@ class BamReader:
         data = _bgzf_decompress(raw)
         if data[:4] != b"BAM\x01":
             raise ValueError(f"'{path}' is not a BAM file")
-        (l_text,) = struct.unpack_from("<i", data, 4)
-        off = 8
-        self.header_text = data[off:off + l_text].decode("ascii", "replace")
-        off += l_text
-        (n_ref,) = struct.unpack_from("<i", data, off)
-        off += 4
-        self.references: List[str] = []
-        self.lengths: List[int] = []
-        for _ in range(n_ref):
-            (l_name,) = struct.unpack_from("<i", data, off)
+        try:
+            (l_text,) = struct.unpack_from("<i", data, 4)
+            off = 8
+            self.header_text = data[off:off + l_text].decode("ascii",
+                                                             "replace")
+            off += l_text
+            (n_ref,) = struct.unpack_from("<i", data, off)
             off += 4
-            self.references.append(data[off:off + l_name - 1].decode("ascii"))
-            off += l_name
-            (l_ref,) = struct.unpack_from("<i", data, off)
-            off += 4
-            self.lengths.append(l_ref)
+            self.references: List[str] = []
+            self.lengths: List[int] = []
+            for _ in range(n_ref):
+                (l_name,) = struct.unpack_from("<i", data, off)
+                off += 4
+                self.references.append(
+                    data[off:off + l_name - 1].decode("ascii"))
+                off += l_name
+                (l_ref,) = struct.unpack_from("<i", data, off)
+                off += 4
+                self.lengths.append(l_ref)
+        except struct.error as e:
+            raise ValueError(
+                f"truncated or corrupt BAM header in '{path}': {e}") from e
         self._data = data
         self._records_offset = off
 
@@ -115,6 +121,10 @@ class BamReader:
             (block_size,) = struct.unpack_from("<i", data, off)
             off += 4
             rec_end = off + block_size
+            if rec_end > n:
+                raise ValueError(
+                    f"truncated BAM record stream in '{self.path}' at "
+                    f"offset {off - 4}")
             (ref_id, pos, l_read_name, mapq, _bin, n_cigar_op, flag, l_seq,
              next_ref_id, next_pos, tlen) = struct.unpack_from(
                 "<iiBBHHHiiii", data, off)

@@ -71,6 +71,21 @@ def test_finalize_cigar_matches_normalize_collapse(native, monkeypatch):
     assert finalize_cigar("", np.zeros(0, np.uint8), np.zeros(0, np.uint8)) == ""
 
 
+def test_truncated_bam_raises_cleanly(tmp_path, data_dir):
+    """Truncation anywhere (magic, header, record stream) must raise
+    ValueError with a message naming the file — not a raw struct.error
+    (the reference tolerates oddities via pysam's own error types)."""
+    data = open(os.path.join(data_dir, "reads.bam"), "rb").read()
+    from npore_tpu.io.bam import open_alignment_file
+    for cut in (17, 100, len(data) // 2):
+        p = str(tmp_path / f"t{cut}.bam")
+        with open(p, "wb") as fh:
+            fh.write(data[:cut])
+        with pytest.raises(ValueError):
+            bam = open_alignment_file(p)
+            list(bam)
+
+
 def test_path_inss_matches_golden():
     """windows.path_inss == golden get_inss over the 'DI'-rewritten string,
     and prefix-D counts are index - prefix-I (every step is I or D)."""
