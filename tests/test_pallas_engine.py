@@ -173,6 +173,23 @@ def test_pallas_chunked_alignment(score_matrices):
                         np_scores, cfg)
     assert got[0] == want
 
+    # a homopolymer run STRADDLING the chunk break (rows ~500 at ref pos
+    # ~250 in an all-match prefix): each chunk recomputes np_info on its
+    # local slice exactly like the reference (src/aln.pyx:453-456), so
+    # the concatenated CIGAR must still equal golden
+    ref2 = list("".join("ACGT"[i] for i in rng.integers(0, 4, n)))
+    ref2[235:265] = "A" * 30
+    ref2 = "".join(ref2)
+    seq2 = ref2[:240] + ref2[244:]              # 4-base deletion in the run
+    cig2 = "=" * 240 + "D" * 4 + "=" * (n - 244)
+    item2 = AlignItem(bases_to_int(ref2), bases_to_int(seq2), cig2)
+    ws = build_windows(item2.ref, item2.seq, item2.cigar, cfg)
+    assert len(ws) >= 2
+    got2 = eng.align_batch([item2])
+    want2 = golden_align(item2.ref, item2.seq, item2.cigar, sub_scores,
+                         np_scores, cfg)
+    assert got2[0] == want2
+
 
 def test_pallas_synthetic_reads(score_matrices):
     """Fresh synthetic reads (generator mirrors test/generate_bam.py):
