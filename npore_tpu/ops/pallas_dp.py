@@ -14,8 +14,11 @@ ops/band_dp.py (golden-parity tested). Reformulations:
   roll 1 @t-1; MAT diag roll 1 @t-2; LEN (arow-n,acol) same lane @t-n;
   SHR (arow,acol-n) roll n @t-n. History planes ride the fori_loop carry.
 * W=32 windows per grid program stacked on sublanes; rows advance in a
-  fori_loop with a ~40-plane carry; per-window scalars (dels[t]) are
-  carried and advanced from a steps tile via lane-onehot reduction.
+  fori_loop with a ~30-plane carry (the reference's LEN/SHR anchor
+  coordinates are carried as value+run only — the coordinate validity
+  checks of src/aln.pyx:622-633 reduce to run>0 plus an acol==n test for
+  SHR's first-column case); per-window scalars (dels[t]) are carried and
+  advanced from a rolling steps tile.
 * Ref-bound tables (bases, L, L_IDX==0 bits, np-score start/continuation
   values for k in [1, k_cont+1]) are DMA'd per 48-row block from linear
   HBM tables and aligned to the lane binding with one dynamic roll per
@@ -226,7 +229,14 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
             return OFFS[side][ni]
 
         def row_step(t, i, carry, n_hi=max_n):
-            (mv, mt, mr, lr, lav, lac, laa, sr, sav, sac, saa,
+            # LEN/SHR carry only (value, run, anchor-value): the anchor
+            # COORDINATE planes of the scalar reference (aln.pyx:622-633
+            # validity checks) are provably redundant here — every stored
+            # anchor already satisfies them (writes are gated by src_ok,
+            # dead lanes store 0), except SHR continuation from a
+            # first-column-initialized cell, which the consumer recomputes
+            # as acol == n (the source at acol-n was first_col)
+            (mv, mt, mr, lr, lav, sr, sav,
              p_insv, p_insr, p_delv, p_delr, dels_now, dh, bail,
              steps_rot) = carry
 
@@ -301,9 +311,9 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
             # never changes results (src/aln.pyx:622-633, 656-667).
             def lenshr(kuse):
                 len_v = (arow + acol).astype(F32) * INF
-                len_r, len_av, len_ac, len_aa = zi, zf, zi, zi
+                len_r, len_av = zi, zf
                 shr_v = (arow + acol).astype(F32) * INF
-                shr_r, shr_av, shr_ac, shr_aa = zi, zf, zi, zi
+                shr_r, shr_av = zi, zf
                 bail_add = zi          # full-width: reduced once at the end
 
                 for n in range(n_hi, 0, -1):
@@ -315,8 +325,6 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                     matv_src = mv[n - 1]
                     lenr_src = lr[n - 1]
                     lenav_src = lav[n - 1]
-                    lenac_src = lac[n - 1]
-                    lenaa_src = laa[n - 1]
                     src_bcol = acol - dels_n + r
                     src_ok = ((arow - n >= 0) & (src_bcol >= 1)
                               & (src_bcol <= 2 * r - 1) & (t >= n))
@@ -344,8 +352,7 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                         cont_val = jnp.where(k_c == kk,
                                              ct[:, qs(0, ni) + kk - 1, :],
                                              cont_val)
-                    cont_ok = ((lenr_src > 0) & (lenaa_src >= 0)
-                               & (lenac_src < 2 * r))
+                    cont_ok = lenr_src > 0
                     sat = ct[:, qs(0, ni) + KN, :]
                     lbv = ct[:, qs(0, ni) + KN + 1, :]
                     is_sat = k_c >= 99 - l_n
@@ -360,22 +367,16 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                     bail_add = bail_add | ovf.astype(I32)
                     new_r = jnp.where(start_case, n, lenr_src + n)
                     new_av = jnp.where(start_case, matv_src, lenav_src)
-                    new_ac = jnp.where(start_case, src_bcol, lenac_src)
-                    new_aa = jnp.where(start_case, arow - n, lenaa_src)
 
                     upd = valid & (cand < len_v)
                     len_v = jnp.where(upd, cand, len_v)
                     len_r = jnp.where(upd, new_r, len_r)
                     len_av = jnp.where(upd, new_av, len_av)
-                    len_ac = jnp.where(upd, new_ac, len_ac)
-                    len_aa = jnp.where(upd, new_aa, len_aa)
 
                     # ---- SHR source (arow, acol-n): lane j-n, row t-n ----
                     matv_src2 = roll(mv[n - 1], n)
                     shrr_src = roll(sr[n - 1], n)
                     shrav_src = roll(sav[n - 1], n)
-                    shrac_src = roll(sac[n - 1], n)
-                    shraa_src = roll(saa[n - 1], n)
                     src_bcol2 = (acol - n) - dels_n + r
                     src_ok2 = ((acol - n >= 0) & (src_bcol2 >= 1)
                                & (src_bcol2 <= 2 * r - 1) & (t >= n))
@@ -392,8 +393,9 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                         cont_val2 = jnp.where(
                             k_c2 == kk, roll(ct[:, qs(1, ni) + kk - 1, :], n),
                             cont_val2)
-                    cont_ok2 = ((shrr_src > 0) & (shraa_src >= 0)
-                                & (shrac_src > 0))
+                    # anchorless first_col cells carry run=arow with no
+                    # real anchor value; their lane is exactly acol == n
+                    cont_ok2 = (shrr_src > 0) & (acol != n)
                     sat2 = roll(ct[:, qs(1, ni) + KN, :], n)
                     lbv2 = roll(ct[:, qs(1, ni) + KN + 1, :], n)
                     is_sat2 = k_c2 > l_n2
@@ -410,18 +412,14 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                     bail_add = bail_add | ovf2.astype(I32)
                     new_r2 = jnp.where(start2, n, shrr_src + n)
                     new_av2 = jnp.where(start2, matv_src2, shrav_src)
-                    new_ac2 = jnp.where(start2, src_bcol2, shrac_src)
-                    new_aa2 = jnp.where(start2, acol - n, shraa_src)
 
                     upd2 = valid2 & (cand2 < shr_v)
                     shr_v = jnp.where(upd2, cand2, shr_v)
                     shr_r = jnp.where(upd2, new_r2, shr_r)
                     shr_av = jnp.where(upd2, new_av2, shr_av)
-                    shr_ac = jnp.where(upd2, new_ac2, shr_ac)
-                    shr_aa = jnp.where(upd2, new_aa2, shr_aa)
 
-                return (len_v, len_r, len_av, len_ac, len_aa,
-                        shr_v, shr_r, shr_av, shr_ac, shr_aa, bail_add)
+                return (len_v, len_r, len_av,
+                        shr_v, shr_r, shr_av, bail_add)
 
             klo = tuple(min(KSHORT, kmaxn[ni]) for ni in range(max_n))
             if klo != tuple(kmaxn):
@@ -440,8 +438,8 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                                    lambda: lenshr(klo))
             else:
                 res = lenshr(kmaxn)
-            (len_v, len_r, len_av, len_ac, len_aa,
-             shr_v, shr_r, shr_av, shr_ac, shr_aa, bail_add) = res
+            (len_v, len_r, len_av,
+             shr_v, shr_r, shr_av, bail_add) = res
             bail = bail | bail_add
 
             # --- MAT (src/aln.pyx:568-592) ---
@@ -500,11 +498,7 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
             shr_r = fin_r(shr_r)
             dead = ~(in_range & ~wall)
             len_av = jnp.where(dead, 0.0, len_av)
-            len_ac = jnp.where(dead, 0, len_ac)
-            len_aa = jnp.where(dead, 0, len_aa)
             shr_av = jnp.where(dead, 0.0, shr_av)
-            shr_ac = jnp.where(dead, 0, shr_ac)
-            shr_aa = jnp.where(dead, 0, shr_aa)
 
             packed_b[pl.ds(i, 1)] = (mat_t + (mat_r << 3))[None]
 
@@ -517,9 +511,7 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
             return ((mat_v,) + mv[:max_n - 1],
                     (mat_t, mt[0]), (mat_r, mr[0]),
                     (len_r,) + lr[:max_n - 1], (len_av,) + lav[:max_n - 1],
-                    (len_ac,) + lac[:max_n - 1], (len_aa,) + laa[:max_n - 1],
                     (shr_r,) + sr[:max_n - 1], (shr_av,) + sav[:max_n - 1],
-                    (shr_ac,) + sac[:max_n - 1], (shr_aa,) + saa[:max_n - 1],
                     ins_v, ins_r, del_v, del_r,
                     dels_now, (dels_now,) + dh[:max_n - 1], bail,
                     roll(steps_rot, -1))
@@ -575,10 +567,8 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
         htup = lambda dt, k: tuple((zf0 if dt is F32 else zi0)
                                    for _ in range(k))
         init = (htup(F32, max_n), htup(I32, 2), htup(I32, 2),
-                htup(I32, max_n), htup(F32, max_n), htup(I32, max_n),
-                htup(I32, max_n),
-                htup(I32, max_n), htup(F32, max_n), htup(I32, max_n),
-                htup(I32, max_n),
+                htup(I32, max_n), htup(F32, max_n),
+                htup(I32, max_n), htup(F32, max_n),
                 zf0, zi0, zf0, zi0,
                 zc0,
                 tuple(zc0 for _ in range(max_n)),
@@ -587,7 +577,7 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
         nblk_eff = maxb // BLK + 1
         final = jax.lax.fori_loop(0, nblk_eff, blk_body, init)
         bail_o[:, :] = jnp.broadcast_to(
-            jnp.max(final[17], axis=1, keepdims=True), (W, 8))
+            jnp.max(final[13], axis=1, keepdims=True), (W, 8))
 
     call = pl.pallas_call(
         dp_kernel,
