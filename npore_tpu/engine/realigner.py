@@ -175,15 +175,29 @@ class Realigner:
         Read decode runs on a worker thread (the native BAM decoder
         releases the GIL), overlapping host decode with device compute —
         the batched analog of the reference's reader/worker pool split
-        (src/realign.py:110-114)."""
+        (src/realign.py:110-114).
+
+        The pipeline is three host stages on dedicated threads, so the
+        main thread only yields ready records (the round-2 e2e finding:
+        per-read main-thread submit ~230us + finalize ~130us sat serially
+        on top of the ~360us device wait):
+
+            producer: stream/decode reads into batches
+            stage A : prep + window building + async device dispatch
+            stage B : device collect + CIGAR finalize + SAM assembly
+        """
         import os
         import queue
         import threading
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
         from time import perf_counter
 
         timing = os.environ.get("NPORE_TIMING") == "1"
-        t_sub = t_emit = t_wait = 0.0
-        t_coll = [0.0]          # device-result wait inside emit
+        t_sub = [0.0]           # stage-A thread: prep + window build + submit
+        t_coll = [0.0]          # stage-B thread: device-result wait
+        t_emit = [0.0]          # stage-B thread: finalize + SAM assembly
+        t_wait = t_main = 0.0   # main thread: decode wait / pipeline wait
         n_done = 0
 
         q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
@@ -202,51 +216,74 @@ class Realigner:
             except BaseException as e:       # surface in the consumer
                 q.put(e)
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        # two-stage pipeline: batch i+1's device work is submitted before
-        # batch i's host post-processing (slot decode, normalization, SAM
-        # assembly), so the two overlap
-        pending = None
-        while True:
+        def stage_a(batch):
             t0 = perf_counter()
-            item = q.get()
-            t_wait += perf_counter() - t0
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            t0 = perf_counter()
-            items, meta = self._prep_batch(item)
+            items, meta = self._prep_batch(batch)
             if self.engine == "pallas":
                 collect = self._pallas.align_batch_async(items)
             else:
                 collect = (lambda its: lambda: self.align_batch(its))(items)
-            t_sub += perf_counter() - t0
-            if timing:
-                def collect(c=collect):
-                    c0 = perf_counter()
-                    res = c()
-                    t_coll[0] += perf_counter() - c0
-                    return res
-            if pending is not None:
-                t0 = perf_counter()
-                yield from self._emit_batch(*pending)
-                t_emit += perf_counter() - t0
-                n_done += len(pending[0])
-            pending = (meta, collect)
-        if pending is not None:
+            t_sub[0] += perf_counter() - t0
+            return meta, collect
+
+        def stage_b(fut_a):
+            meta, collect = fut_a.result()
+            c_acc = [0.0]
+
+            def timed_collect():
+                c0 = perf_counter()
+                res = collect()
+                c_acc[0] += perf_counter() - c0
+                return res
             t0 = perf_counter()
-            yield from self._emit_batch(*pending)
-            t_emit += perf_counter() - t0
-            n_done += len(pending[0])
-        t.join()
+            out = list(self._emit_batch(meta, timed_collect))
+            t_coll[0] += c_acc[0]
+            t_emit[0] += perf_counter() - t0 - c_acc[0]
+            return out
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        ex_a = ThreadPoolExecutor(1)
+        ex_b = ThreadPoolExecutor(1)
+        inflight: deque = deque()
+        try:
+            while True:
+                t0 = perf_counter()
+                item = q.get()
+                t_wait += perf_counter() - t0
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                inflight.append(ex_b.submit(stage_b,
+                                            ex_a.submit(stage_a, item)))
+                while len(inflight) > 2:
+                    t0 = perf_counter()
+                    out = inflight.popleft().result()
+                    t_main += perf_counter() - t0
+                    n_done += len(out)
+                    yield from out
+            while inflight:
+                t0 = perf_counter()
+                out = inflight.popleft().result()
+                t_main += perf_counter() - t0
+                n_done += len(out)
+                yield from out
+            t.join()
+        finally:
+            for f in inflight:
+                f.cancel()
+            ex_a.shutdown(wait=False)
+            ex_b.shutdown(wait=False)
         if timing and n_done:
             us = 1e6 / n_done
-            print(f"    [timing] per read: submit {t_sub*us:.0f}us, "
+            print(f"    [timing] per read: submit {t_sub[0]*us:.0f}us, "
                   f"collect-wait {t_coll[0]*us:.0f}us, "
-                  f"finalize+emit {(t_emit-t_coll[0])*us:.0f}us, "
-                  f"decode-wait {t_wait*us:.0f}us", flush=True)
+                  f"finalize+emit {t_emit[0]*us:.0f}us, "
+                  f"decode-wait {t_wait*us:.0f}us, "
+                  f"main-wait {t_main*us:.0f}us "
+                  f"(submit/collect/finalize on worker threads)",
+                  flush=True)
 
     def _do_batch(self, reads: List[SamRecord]) -> Iterable[SamRecord]:
         items, meta = self._prep_batch(reads)

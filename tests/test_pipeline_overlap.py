@@ -51,6 +51,37 @@ def _reads(n):
                       qual="IIII", tags={}) for i in range(n)]
 
 
+class SlowSubmitDevice(FakeDevice):
+    """Simulates window-building cost inside align_batch_async (stage A)."""
+
+    def align_batch_async(self, items):
+        time.sleep(HOST_S)
+        return super().align_batch_async(items)
+
+
+def test_submit_and_emit_overlap_device():
+    """With submit cost S and emit cost H per batch, the 3-stage pipeline
+    hides both behind device time: ~S + B*D + H, not B*(S+D+H)."""
+    rl = SlowEmitRealigner.__new__(SlowEmitRealigner)
+    rl.engine = "pallas"
+    rl._pallas = SlowSubmitDevice()
+    rl.skipped = []
+    rl.errors = []
+
+    reads = _reads(BATCHES * READS_PER_BATCH)
+    for r in reads:
+        r.aln = ((b"", b"", "4M"))
+
+    t0 = time.perf_counter()
+    out = list(rl.realign_records(iter(reads), batch_size=READS_PER_BATCH))
+    dt = time.perf_counter() - t0
+    assert len(out) == len(reads)
+
+    serial = BATCHES * (2 * HOST_S + DEVICE_S)
+    # strictly better than serializing either host stage with the device
+    assert dt < BATCHES * (DEVICE_S + HOST_S), (dt, serial)
+
+
 def test_emit_overlaps_device():
     rl = SlowEmitRealigner.__new__(SlowEmitRealigner)
     rl.engine = "pallas"
