@@ -273,8 +273,21 @@ class Realigner:
         finally:
             for f in inflight:
                 f.cancel()
-            ex_a.shutdown(wait=False)
-            ex_b.shutdown(wait=False)
+            # cancel_futures drops queued (not-yet-running) stage tasks so an
+            # aborted run can't dispatch device work nobody will collect
+            ex_a.shutdown(wait=False, cancel_futures=True)
+            ex_b.shutdown(wait=False, cancel_futures=True)
+            # drain already-running futures so concurrent failures surface
+            # (logged, not raised — the primary error is already propagating)
+            for f in inflight:
+                if not f.cancelled():
+                    exc = None
+                    try:
+                        exc = f.exception(timeout=60)
+                    except Exception as e:
+                        exc = e
+                    if exc is not None:
+                        self.errors.append(f"pipeline abort: {exc!r}")
         if timing and n_done:
             us = 1e6 / n_done
             print(f"    [timing] per read: submit {t_sub[0]*us:.0f}us, "
