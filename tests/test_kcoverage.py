@@ -87,6 +87,51 @@ def test_mini_fuzz_parity(kmid_engine, score_matrices):
     _parity(kmid_engine, score_matrices, cases)
 
 
+def _deep_k_cases():
+    """Per-n repeat events whose continuation depth k_c = run//n + 1 lands
+    strictly above KSHORT=8 but inside the production ladder KMAXN[n-1]
+    (reference: src/aln.pyx:601-667), so the full-tier cond must engage
+    AND must resolve without bailing — for every period n=1..6."""
+    cases = []
+    tail = "GTCGA"
+    # n=1 SHR: delete 55 of 69 A's -> k_c up to 56 (KSHORT 8 < 56 <= 70)
+    cases.append(("CC" + "A" * 69 + tail, "CC" + "A" * 14 + tail,
+                  "==" + "=" * 14 + "D" * 55 + "====="))
+    # n=1 LEN: insert 25 A's into a 20-A run -> k_c up to 26 (<= 70)
+    cases.append(("CC" + "A" * 20 + tail, "CC" + "A" * 45 + tail,
+                  "==" + "=" * 20 + "I" * 25 + "====="))
+    # n=2..6 SHR at depths above KSHORT, inside KMAXN[n-1]
+    for n, units, dels in [(2, 24, 20), (3, 15, 12), (4, 13, 10),
+                           (5, 12, 9), (6, 11, 8)]:
+        unit = "ACGGTC"[:n]
+        ref = "T" + unit * units + tail
+        seq = "T" + unit * (units - dels) + tail
+        cig = "=" + "=" * n * (units - dels) + "D" * (n * dels) + "====="
+        cases.append((ref, seq, cig))
+    return cases
+
+
+def test_production_kmaxn_hermetic(score_matrices):
+    """Pins the exact shipping ladder KMAXN=(70,37,25,20,17,15) off-HW:
+    deep-k continuations for every n resolve bail-free and golden-exact
+    through the full-tier path (round 1's k_c==1 bug shipped through the
+    interpret/production config split this closes)."""
+    from npore_tpu.ops.pallas_dp import KMAXN, KSHORT
+    sub_scores, np_scores, _, _ = score_matrices
+    eng = PallasEngine(sub_scores, np_scores, AlignConfig(),
+                       interpret=True, kmaxn=KMAXN)
+    cases = _deep_k_cases()
+    _parity(eng, score_matrices, cases)
+    assert eng.bail_count == 0, "production ladder must cover in-band k"
+
+    # prove the cases genuinely needed k > KSHORT: a KSHORT-deep ladder
+    # (klo == kmaxn, single tier) must bail on at least the deep n=1 case
+    shallow = PallasEngine(sub_scores, np_scores, AlignConfig(),
+                           interpret=True, kmaxn=(KSHORT,) * 6)
+    _parity(shallow, score_matrices, cases)   # golden via bail fallback
+    assert shallow.bail_count > 0
+
+
 def test_unroll6_bit_exact(score_matrices, monkeypatch):
     """NPORE_DP_UNROLL=6 (the SSA-rename row unroll) must stay bit-exact
     on deep-repeat cases through the same two-tier ladder."""
