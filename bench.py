@@ -56,6 +56,129 @@ def baseline_reads_per_sec(reads, sub_scores, np_scores, cfg) -> float:
     return best * ncores
 
 
+def _baseline_rps_for(items, sub_scores, np_scores, cfg, repeat=2):
+    """Single-core C++ reference-kernel reads/s on ``items`` x host cores."""
+    from npore_tpu.native import get_lib, golden_align_native
+    if get_lib() is None:
+        return None
+    ncores = os.cpu_count() or 8
+    for ref8, seq8, cig in items:
+        golden_align_native(ref8, seq8, cig, sub_scores, np_scores, cfg)
+    best = 0.0
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        for ref8, seq8, cig in items:
+            golden_align_native(ref8, seq8, cig, sub_scores, np_scores, cfg)
+        best = max(best, len(items) / (time.perf_counter() - t0))
+    return best * ncores
+
+
+# distinct synthetic reads per r_pad bucket: (bucket, min_len, max_len)
+MIXED_BUCKETS = ((384, 120, 170), (768, 260, 350),
+                 (1536, 430, 690), (3072, 950, 1400))
+
+
+def _mixed_bam_path() -> str:
+    """Build (once) a seeded mixed-length BAM spanning >=4 r_pad buckets,
+    so steady state exercises the geometric bucket ladder and mixed-length
+    grouping (reference cost defaults: src/aln.pyx:379-382)."""
+    import importlib.util
+    cache = os.path.join(os.path.expanduser("~/.cache/npore_bench"))
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, "mixed_v1.bam")
+    if os.path.exists(path):
+        return path
+    spec = importlib.util.spec_from_file_location(
+        "gen_data", os.path.join(REPO, "tests", "generate_data.py"))
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    from npore_tpu.io.bam_writer import write_bam
+    from npore_tpu.io.cigar import collapse_cigar
+    from npore_tpu.io.sam import SamRecord
+    rng = np.random.default_rng(7)
+    ref = gen.make_ref(rng, 6000)
+    records = []
+    for bucket, lo, hi in MIXED_BUCKETS:
+        for i in range(24):
+            pos, seq, cig = gen.make_read(rng, ref, min_len=lo, max_len=hi)
+            records.append(SamRecord(
+                qname=f"mx{bucket}_{i}", flag=0, rname="ref", pos=pos,
+                mapq=60, cigar=collapse_cigar(cig), seq=seq,
+                qual="I" * len(seq),
+                tags={"HP": ("i", int(rng.integers(0, 3))),
+                      "MD": ("Z", gen.md_tag(ref, pos, cig))}))
+    records.sort(key=lambda r: r.pos)
+    write_bam(path, ["ref"], [len(ref)], records)
+    return path
+
+
+def _bucket_of(rec, cfg) -> int:
+    from npore_tpu.engine.pallas_engine import _r_pad_for
+    b_rows = len(rec.query_alignment_sequence) + rec.reference_length + 1
+    return _r_pad_for(b_rows + 1, cfg.max_b_rows)
+
+
+def run_mixed(rl, sub_scores, np_scores, cfg) -> dict:
+    """Per-bucket and mixed-aggregate throughput on the multi-bucket set."""
+    from npore_tpu.constants import bases_to_int
+    from npore_tpu.io.bam import open_alignment_file
+    from npore_tpu.io.cigar import expand_cigar
+    bam_path = _mixed_bam_path()
+    rep = int(os.environ.get("NPORE_BENCH_MIXED_REPLICAS", "16"))
+    bam = open_alignment_file(bam_path)
+    by_bucket = {}
+    for r in bam:
+        by_bucket.setdefault(_bucket_of(r, cfg), []).append(r)
+
+    detail = {}
+    agg_n = agg_dt = 0.0
+    for bucket in sorted(by_bucket):
+        reads = by_bucket[bucket]
+        # warmup compiles this bucket's shape + one steady pass
+        list(rl.realign_records(iter(reads * 2), batch_size=512))
+        n = len(reads) * rep
+
+        def it(reads=reads):
+            for _ in range(rep):
+                yield from reads
+        t0 = time.perf_counter()
+        out = list(rl.realign_records(it(), batch_size=1024))
+        dt = time.perf_counter() - t0
+        assert len(out) == n
+        items = []
+        for r in reads:
+            cig = expand_cigar(r.cigar).replace("S", "").replace("H", "")
+            items.append((bases_to_int(r.get_reference_sequence().upper()),
+                          bases_to_int(r.query_alignment_sequence.upper()),
+                          cig))
+        base = _baseline_rps_for(items, sub_scores, np_scores, cfg)
+        rps = n / dt
+        detail[str(bucket)] = {
+            "reads_per_sec": round(rps, 2),
+            "vs_baseline": round(rps / base, 2) if base else None,
+        }
+        agg_n += n
+        agg_dt += dt
+
+    # shuffled mixed stream: grouping across buckets in one pipeline
+    rng = np.random.default_rng(3)
+    mixed = [r for reads in by_bucket.values() for r in reads]
+
+    def mixed_it():
+        for _ in range(rep):
+            order = rng.permutation(len(mixed))
+            for i in order:
+                yield mixed[i]
+    n = len(mixed) * rep
+    t0 = time.perf_counter()
+    out = list(rl.realign_records(mixed_it(), batch_size=1024))
+    dt = time.perf_counter() - t0
+    assert len(out) == n
+    detail["mixed_stream"] = {"reads_per_sec": round(n / dt, 2)}
+    detail["bucket_sum"] = {"reads_per_sec": round(agg_n / agg_dt, 2)}
+    return detail
+
+
 def main() -> None:
     from npore_tpu.engine.realigner import Realigner
     from npore_tpu.io.bam import BamReader, open_alignment_file
@@ -99,14 +222,17 @@ def main() -> None:
         best = max(best, n_work / dt)
 
     from npore_tpu.config import AlignConfig
-    base = baseline_reads_per_sec(reads, sub_scores, np_scores,
-                                  AlignConfig())
-    print(json.dumps({
+    cfg = AlignConfig()
+    base = baseline_reads_per_sec(reads, sub_scores, np_scores, cfg)
+    result = {
         "metric": "reads_realigned_per_sec_single_chip",
         "value": round(best, 2),
         "unit": "reads/s",
         "vs_baseline": round(best / base, 2),
-    }))
+    }
+    if os.environ.get("NPORE_BENCH_MIXED", "0") != "0":
+        result["mixed"] = run_mixed(rl, sub_scores, np_scores, cfg)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
