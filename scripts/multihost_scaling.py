@@ -100,26 +100,34 @@ def main() -> int:
     ap.add_argument("--bam", default=os.path.join(REPO, "tests/data/reads.bam"))
     ap.add_argument("--ref", default=os.path.join(REPO, "tests/data/ref.fasta"))
     ap.add_argument("--stats_dir", default=os.path.join(REPO, "guppy5_stats"))
-    ap.add_argument("--engine", default="golden")
+    ap.add_argument("--engine", default=None, help="single engine (legacy)")
+    ap.add_argument("--engines", nargs="+", default=["golden"],
+                    help="engines to sweep; 'pallas' runs the production "
+                         "Mosaic path (interpret mode off-TPU)")
     ap.add_argument("--max_reads", type=int, default=0)
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
+    engines = [args.engine] if args.engine else args.engines
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="npore_mh_")
-    base_sam, t1 = _run_config(1, args, workdir)
-    base = _records(base_sam)
-    print(json.dumps({"hosts": 1, "stage_secs": round(t1, 3),
-                      "reads": len(base)}))
     ok = True
-    for n in args.hosts:
-        sam, tn = _run_config(n, args, workdir)
-        recs = _records(sam)
-        match = recs == base
-        ok &= match
-        eff = t1 / (n * tn) if tn else 0.0
-        print(json.dumps({"hosts": n, "stage_secs": round(tn, 3),
-                          "reads": len(recs), "records_match_1host": match,
-                          "scaling_efficiency": round(eff, 3)}))
+    for engine in engines:
+        args.engine = engine
+        base_sam, t1 = _run_config(1, args, workdir)
+        base = _records(base_sam)
+        print(json.dumps({"engine": engine, "hosts": 1,
+                          "stage_secs": round(t1, 3), "reads": len(base)}))
+        for n in args.hosts:
+            sam, tn = _run_config(n, args, workdir)
+            recs = _records(sam)
+            match = recs == base
+            ok &= match
+            eff = t1 / (n * tn) if tn else 0.0
+            print(json.dumps({"engine": engine, "hosts": n,
+                              "stage_secs": round(tn, 3),
+                              "reads": len(recs),
+                              "records_match_1host": match,
+                              "scaling_efficiency": round(eff, 3)}))
     return 0 if ok else 1
 
 

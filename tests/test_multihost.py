@@ -31,3 +31,21 @@ def test_two_host_realign_matches_single_host():
     assert two["reads"] == 10
     assert two["records_match_1host"] is True
     assert two["scaling_efficiency"] > 0
+
+
+def test_two_host_realign_pallas_engine():
+    """The production Pallas engine (interpret off-TPU) under real
+    jax.distributed 2-host sharding: merged records must equal its own
+    single-host run (which tests/test_cli_realign.py pins to golden)."""
+    cmd = [sys.executable, os.path.join(REPO, "scripts/multihost_scaling.py"),
+           "--hosts", "2", "--engines", "pallas"]
+    out = subprocess.run(cmd, cwd=REPO, env=dict(os.environ),
+                         capture_output=True, text=True, timeout=1200)
+    assert out.returncode == 0, out.stdout + out.stderr
+    rows = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    assert rows[0] == {"engine": "pallas", "hosts": 1,
+                       "stage_secs": rows[0]["stage_secs"], "reads": 10}
+    two = rows[1]
+    assert two["engine"] == "pallas" and two["hosts"] == 2
+    assert two["reads"] == 10
+    assert two["records_match_1host"] is True
