@@ -170,6 +170,8 @@ def _np_regions_job(job):
 
 
 def main(argv=None) -> int:
+    from ..config import apply_platform_env
+    apply_platform_env()
     args = argparser().parse_args(argv)
     ref_fa = FastaFile(args.ref)
 

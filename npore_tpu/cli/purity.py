@@ -330,6 +330,8 @@ def plot_purity(all_scores, names, out_prefix) -> None:
 
 
 def main(argv=None) -> int:
+    from ..config import apply_platform_env
+    apply_platform_env()
     args = argparser().parse_args(argv)
     bams = args.bams.split(",")
     names = (args.names.split(",") if args.names

@@ -90,6 +90,8 @@ def get_read_data(bam, regions, max_reads: int = 0):
 
 
 def main(argv=None) -> int:
+    from ..config import apply_platform_env
+    apply_platform_env()
     args = argparser().parse_args(argv)
     cfg = config_from_args(args)
 

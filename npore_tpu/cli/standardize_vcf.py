@@ -95,6 +95,8 @@ def realign_haps(hap_data, realigner: Realigner):
 
 
 def main(argv=None) -> int:
+    from ..config import apply_platform_env
+    apply_platform_env()
     args = argparser().parse_args(argv)
     cfg = AlignConfig(max_n=args.max_n, max_l=args.max_l)
 

@@ -11,6 +11,20 @@ import dataclasses
 from typing import Optional
 
 
+def apply_platform_env() -> None:
+    """Honor ``NPORE_PLATFORM`` (e.g. ``cpu``) at CLI startup.
+
+    The container's sitecustomize force-registers the axon TPU platform and
+    overrides JAX_PLATFORMS at interpreter start, so subprocess callers
+    (shell-pipeline tests, multi-host harnesses) need an in-process
+    override to run hermetically off-TPU."""
+    import os
+    plat = os.environ.get("NPORE_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+
 @dataclasses.dataclass(frozen=True)
 class AlignConfig:
     """Parameters of the banded n-polymer DP (reference: src/aln.pyx:379-382)."""

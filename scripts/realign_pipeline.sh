@@ -76,7 +76,7 @@ align() {                                 # reference :138-152
 }
 
 std_ref() {                               # reference :156-210
-    itr=$1
+    local itr=$1
     stage "creating standard reference (itr $itr)"
     mkdir -p "$wd/ref"
     if [ "$itr" = 0 ]; then
@@ -109,7 +109,7 @@ write_vcf('$wd/ref/0_std.vcf.gz', v.header_lines, iter(v))"
 }
 
 cand_call() {                             # reference :214-296
-    itr=$1
+    local itr=$1
     if [ "$train_clair3" = 1 ]; then
         stage "retraining candidate caller (itr $itr)"
         "$clair3_dir/generate_pileup_tensors.sh" \
@@ -144,7 +144,7 @@ cand_call() {                             # reference :214-296
 }
 
 rephase() {                               # reference :300-331
-    itr=$1
+    local itr=$1
     stage "rephasing calls (itr $itr)"
     whatshap phase \
         "$wd/${itr}_calls.vcf.gz" "$wd/$((itr-1))_reads.bam" \
@@ -162,7 +162,7 @@ rephase() {                               # reference :300-331
 }
 
 realign() {                               # reference :335-362
-    itr=$1
+    local itr=$1
     stage "realigning reads (itr $itr)"
     python3 -m npore_tpu.cli.realign \
         --bam "$wd/${itr}_phased.bam" --ref "$ref" \
@@ -173,7 +173,7 @@ realign() {                               # reference :335-362
 }
 
 var_call() {                              # reference :366-423
-    itr=$1
+    local itr=$1
     if [ "$train_clair3" = 1 ]; then
         stage "retraining variant caller (itr $itr)"
         "$clair3_dir/generate_full_tensors.sh" \
