@@ -206,7 +206,7 @@ def main(argv=None) -> int:
         # chunk-parallel scan (reference: src/bed.py:161-162 pool.map);
         # ordered map keeps output deterministic
         import multiprocessing as mp
-        with mp.get_context("fork").Pool(procs) as pool:
+        with mp.get_context("spawn").Pool(procs) as pool:
             np_regions = pool.map(_np_regions_job, jobs)
     else:
         np_regions = [_np_regions_job(j) for j in jobs]

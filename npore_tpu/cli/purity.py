@@ -232,7 +232,7 @@ def bam_purity(bam_path: str, contig: Optional[str], beg: Optional[int],
     entries: List = []
     if processes > 1 and len(jobs) > 1:
         import multiprocessing as mp
-        ctx = mp.get_context("fork")
+        ctx = mp.get_context("spawn")
         with ctx.Pool(processes) as pool:
             for part in pool.imap(worker, jobs):
                 entries.extend(part)

@@ -198,7 +198,9 @@ def calc_confusion_matrices_bam(bam_path: str, ref_fa, regions: List[Region],
     acc = list(_zero_counts(max_n, max_l))
     if processes > 1 and ref_path:
         import multiprocessing as mp
-        ctx = mp.get_context("fork")
+        # spawn, not fork: callers (CLIs, harnesses) usually have JAX
+        # initialized, and forking a multithreaded JAX process can deadlock
+        ctx = mp.get_context("spawn")
         with ctx.Pool(processes) as pool:
             for parts in pool.imap_unordered(_range_worker, jobs):
                 for a, p in zip(acc, parts):

@@ -157,6 +157,14 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
     from jax.experimental.pallas import tpu as pltpu
     from ..engine.prepass import ct_layout
 
+    # EXPERIMENTAL cost-model ablations (NPORE_DP_ABLATE, comma list).
+    # These deliberately produce WRONG alignments (except 'notier') and
+    # exist only to measure where the per-row vector-op budget goes on
+    # real hardware; never set in production.
+    import os as _os
+    ablate = frozenset(
+        x for x in _os.environ.get("NPORE_DP_ABLATE", "").split(",") if x)
+
     assert R_pad % RQ == 0
     INF = np.float32(inf)
     istart = np.float32(indel_start)
@@ -338,8 +346,10 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                     lenA = jnp.clip(n_ins + 1 - (arow - n), 0, n)
                     lenB = jnp.clip(n_del + 1 - acol, 0, n)
                     mok = lenA == lenB
-                    for k in range(n):
-                        mok = mok & ((k >= lenA) | (SEQ(1 - n + k) == REF(1 + k)))
+                    if "nomatch" not in ablate:
+                        for k in range(n):
+                            mok = mok & ((k >= lenA)
+                                         | (SEQ(1 - n + k) == REF(1 + k)))
 
                     valid = (src_ok & (l_n > 0) & (lseq_src > 0) & (lz_n == 1)
                              & mok & (bcol > 0))
@@ -362,9 +372,10 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                     cand = jnp.where(start_case, cand_s,
                                      jnp.where(cont_ok, cont_val + lenav_src,
                                                bigf))
-                    ovf = ((~start_case) & cont_ok & valid & in_range & gap
-                           & (lenav_src + lbv < len_v))
-                    bail_add = bail_add | ovf.astype(I32)
+                    if "noovf" not in ablate:
+                        ovf = ((~start_case) & cont_ok & valid & in_range
+                               & gap & (lenav_src + lbv < len_v))
+                        bail_add = bail_add | ovf.astype(I32)
                     new_r = jnp.where(start_case, n, lenr_src + n)
                     new_av = jnp.where(start_case, matv_src, lenav_src)
 
@@ -407,9 +418,10 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                                       jnp.where(cont_ok2,
                                                 cont_val2 + shrav_src,
                                                 bigf))
-                    ovf2 = ((~start2) & cont_ok2 & valid2 & in_range & gap2
-                            & (shrav_src + lbv2 < shr_v))
-                    bail_add = bail_add | ovf2.astype(I32)
+                    if "noovf" not in ablate:
+                        ovf2 = ((~start2) & cont_ok2 & valid2 & in_range
+                                & gap2 & (shrav_src + lbv2 < shr_v))
+                        bail_add = bail_add | ovf2.astype(I32)
                     new_r2 = jnp.where(start2, n, shrr_src + n)
                     new_av2 = jnp.where(start2, matv_src2, shrav_src)
 
@@ -422,7 +434,12 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                         shr_v, shr_r, shr_av, bail_add)
 
             klo = tuple(min(KSHORT, kmaxn[ni]) for ni in range(max_n))
-            if klo != tuple(kmaxn):
+            if "nolenshr" in ablate:
+                iv = (arow + acol).astype(F32) * INF
+                res = (iv, zi, zf, iv, zi, zf, zi)
+            elif "notier" in ablate:
+                res = lenshr(klo)
+            elif klo != tuple(kmaxn):
                 # a lane needs the full ladder iff some carried run implies
                 # k = run//n + 1 in (KSHORT, KMAXN]; k > KMAXN lanes use the
                 # SAT/LB path in both tiers
@@ -504,8 +521,10 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
 
             # advance only the planes this block variant reads; stale
             # planes are reloaded fresh at the next block boundary
-            for q in ([0] + [1 + ni for ni in range(n_hi)]
-                      + [1 + max_n + ni for ni in range(n_hi)]):
+            adv = ([0] if "noadv" in ablate else
+                   [0] + [1 + ni for ni in range(n_hi)]
+                   + [1 + max_n + ni for ni in range(n_hi)])
+            for q in adv:
                 seq_b[:, q, :] = roll(seq_b[:, q, :], 1)
 
             return ((mat_v,) + mv[:max_n - 1],
@@ -535,7 +554,9 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                     return cc
                 return jax.lax.fori_loop(0, BLK // unroll, inner, c)
 
-            if max_n > 1:
+            if "nhi1" in ablate:
+                carry = run_rows(carry, 1)
+            elif max_n > 1:
                 # period>=2 candidates require l_n > 0 at the candidate
                 # cell (LEN: ref+seq planes; SHR: ref plane), so a block
                 # whose loaded windows show no period-n repeat provably
