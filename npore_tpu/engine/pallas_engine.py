@@ -169,6 +169,16 @@ class PallasEngine:
         self._warm = set()      # (shape, device) whose first run completed
 
     # ------------------------------------------------------------------
+    def g_call_for(self, r_pad: int) -> int:
+        """Programs per device call, scaled down for big-row buckets: the
+        prepass score tiles are ~1.6 GB per 8-program group at r_pad=1536
+        and grow linearly with r_pad, so whole-contig buckets (r_pad up to
+        ~20k, standardize path: reference src/bam.pyx:93-123) must shrink
+        the group to stay inside HBM (v5e: 16 GB)."""
+        if r_pad <= 1536:
+            return self.g_call
+        return max(1, (self.g_call * 1536) // r_pad)
+
     def align_batch(self, items) -> List[str]:
         """items: sequence with .ref/.seq int arrays and .cigar (expanded).
         Returns extended CIGARs over '=XID'."""
@@ -203,7 +213,7 @@ class PallasEngine:
         pending = []
         for r_pad, wins in sorted(by_r.items()):
             wins.sort(key=lambda w: w.b_rows)
-            bw = self.n_shards * self.g_call * W
+            bw = self.n_shards * self.g_call_for(r_pad) * W
             for lo in range(0, len(wins), bw):
                 group = wins[lo:lo + bw]
                 pending.append(
@@ -275,7 +285,8 @@ class PallasEngine:
         cfg = self.cfg
         max_n = cfg.max_n
         r = cfg.r
-        G = self.n_shards * self.g_call     # global programs per dispatch
+        gc = self.g_call_for(r_pad)
+        G = self.n_shards * gc              # global programs per dispatch
         B = G * W
         NL = 1 + 2 * max_n
         PADL = 128            # leading pad (multiple of 128 keeps lane binding)
@@ -346,7 +357,7 @@ class PallasEngine:
             with self._compile_lock:    # compile each shape exactly once
                 if key not in self._composites:
                     self._composites[key] = _make_composite(
-                        r_pad, self.g_call, r, cfg.indel_start,
+                        r_pad, gc, r, cfg.indel_start,
                         cfg.indel_extend, cfg.inf, max_n, cfg.max_l,
                         self.interpret, self.cont_cols, self.kmaxn,
                         mesh=self.mesh, sub_scores=self.sub_scores)

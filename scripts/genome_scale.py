@@ -9,7 +9,7 @@ then drives realign, stats recalc, bed, and standardize_vcf end-to-end,
 recording wall time, peak RSS, and sampled-window golden parity.
 
     python scripts/genome_scale.py [--mbp 5] [--reads 2000]
-        [--engine pallas] [--parity_sample 8] [--std_span 200000]
+        [--engine pallas] [--parity_sample 8] [--std_contig contig1|contig2]
         [--stages realign,stats,bed,std] [--workdir DIR]
 
 Prints one JSON line per stage plus a summary line. Fixture generation is
@@ -56,7 +56,7 @@ def build_fixtures(workdir: str, mbp: float, n_reads: int, seed: int):
     from npore_tpu.io.sam import SamRecord
     from npore_tpu.io.vcf import VcfRecord, write_vcf
 
-    tag = f"g{mbp:g}m_r{n_reads}_s{seed}"
+    tag = f"g{mbp:g}m_r{n_reads}_s{seed}v2"
     ref_fa = os.path.join(workdir, f"{tag}.fasta")
     bam = os.path.join(workdir, f"{tag}.bam")
     vcf = os.path.join(workdir, f"{tag}.vcf.gz")
@@ -73,7 +73,10 @@ def build_fixtures(workdir: str, mbp: float, n_reads: int, seed: int):
     n_bases = int(mbp * 1e6)
     t0 = time.perf_counter()
     contig = make_genome(rng, n_bases)
-    write_fasta(ref_fa, {"contig1": contig})
+    # contig2: small companion contig so hermetic runs can exercise the
+    # whole-contig standardize path at affordable interpret cost
+    contig2 = make_genome(rng, 15000)
+    write_fasta(ref_fa, {"contig1": contig, "contig2": contig2})
 
     records = []
     for i in range(n_reads):
@@ -93,21 +96,27 @@ def build_fixtures(workdir: str, mbp: float, n_reads: int, seed: int):
 
     header = ["##fileformat=VCFv4.2",
               f"##contig=<ID=contig1,length={n_bases}>",
+              f"##contig=<ID=contig2,length={len(contig2)}>",
               '##FORMAT=<ID=GT,Number=1,Type=String,Description="GT">',
               "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS"]
     vrecs = []
-    for p in sorted(rng.integers(100, n_bases - 100, max(20, n_reads // 8))):
-        p = int(p)
-        ref_b = contig[p]
+    sites = [("contig1", int(p)) for p in
+             sorted(rng.integers(100, n_bases - 100, max(20, n_reads // 8)))]
+    sites += [("contig2", int(p)) for p in
+              sorted(rng.integers(100, len(contig2) - 100, 8))]
+    for ctg, p in sites:
+        src_seq = contig if ctg == "contig1" else contig2
+        ref_b = src_seq[p]
         alt = "ACGT"[("ACGT".index(ref_b) + 1) % 4]
         gt = ["1|0", "0|1", "1|1"][int(rng.integers(0, 3))]
-        vrecs.append(VcfRecord(contig="contig1", pos=p, id=".",
+        vrecs.append(VcfRecord(contig=ctg, pos=p, id=".",
                                alleles=(ref_b, alt), qual=30.0,
                                filter="PASS", info=".", fmt="GT", sample=gt))
     # dedup positions (keep first)
     seen = set()
     vrecs = [r for r in vrecs
-             if r.pos not in seen and not seen.add(r.pos)]
+             if (r.contig, r.pos) not in seen
+             and not seen.add((r.contig, r.pos))]
     write_vcf(vcf, header, vrecs)
     with open(bed, "w") as fh:
         fh.write(f"contig1\t0\t{n_bases}\n")
@@ -128,8 +137,9 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--engine", default="pallas")
     ap.add_argument("--parity_sample", type=int, default=8)
-    ap.add_argument("--std_span", type=int, default=200000,
-                    help="standardize this many bases (0 = whole contig)")
+    ap.add_argument("--std_contig", default="contig2",
+                    help="contig for the whole-contig standardize stage "
+                         "(contig2 = small companion; contig1 = full scale)")
     ap.add_argument("--stages", default="realign,stats,bed,std")
     ap.add_argument("--max_reads", type=int, default=0,
                     help="cap reads through realign (0 = all)")
@@ -233,10 +243,7 @@ def main() -> int:
         from npore_tpu.cli.standardize_vcf import main as std_main
         pre = os.path.join(args.workdir, "gs_std")
         argv = ["--vcf", vcf, "--ref", ref_fa, "--out_prefix", pre,
-                "--stats_dir", stats_dir]
-        if args.std_span:
-            argv += ["--contig", "contig1", "--contig_beg", "0",
-                     "--contig_end", str(args.std_span)]
+                "--stats_dir", stats_dir, "--contig", args.std_contig]
         t0 = time.perf_counter()
         rc = std_main(argv)
         dt = time.perf_counter() - t0

@@ -25,7 +25,7 @@ def test_genome_scale_reduced(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/genome_scale.py"),
          "--mbp", "2", "--reads", "600", "--max_reads", "12",
-         "--parity_sample", "6", "--std_span", "12000",
+         "--parity_sample", "6", "--std_contig", "contig2",
          "--workdir", str(tmp_path)],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1500)
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
