@@ -64,20 +64,241 @@ def main() -> int:
     idx32_d = jax.device_put(idx32, dev)
     sub_d = jax.device_put(eng._sub, dev)
 
+    # block_until_ready does NOT synchronize on the tunneled axon backend;
+    # a (small) device_get is the only true sync. Its ~25 ms latency is a
+    # constant additive term: report both raw and latency-corrected times.
     outs = run(big8_d, idx32_d, sub_d)
-    jax.block_until_ready(outs)
+    _ = jax.device_get(outs[0])
+    # estimate the fetch-only latency on an already-computed buffer
+    lat = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.device_get(outs[0])
+        lat = min(lat, time.perf_counter() - t0)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        outs = run(big8_d, idx32_d, sub_d)
-        jax.block_until_ready(outs)
+        o = run(big8_d, idx32_d, sub_d)
+        jax.device_get(o[0])
         best = min(best, time.perf_counter() - t0)
     nwin = len(group)
-    print(f"composite: {best*1000:.2f} ms min-of-{reps} "
-          f"({nwin} windows, r_pad {r_pad}, "
+    net = best - lat
+    print(f"composite: {net*1000:.2f} ms min-of-{reps} "
+          f"(raw {best*1000:.2f}, fetch-lat {lat*1000:.2f}; "
+          f"{nwin} windows, r_pad {r_pad}, "
           f"ablate='{os.environ.get('NPORE_DP_ABLATE', '')}') "
-          f"-> {best*1e6/nwin:.1f} us/window")
+          f"-> {net*1e6/nwin:.1f} us/window")
+
+    if "--split" in sys.argv:
+        _split_stages(eng, big8_d, idx32_d, sub_d, r_pad, reps)
+    if "--ppsplit" in sys.argv:
+        _pp_split(eng, big8_d, idx32_d, r_pad, reps)
     return 0
+
+
+def _pp_split(eng, big8_d, idx32_d, r_pad, reps):
+    """Time the prepass sub-stages as separate jits (npinfo ref/seq+pack,
+    table assembly, block gathers, one-hot matmuls, steps) and report each
+    net of the measured dispatch+fetch floor."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from npore_tpu.engine.pallas_engine import _idx_layout
+    from npore_tpu.engine.prepass import ct_layout
+    from npore_tpu.ops.npinfo_device import np_info_device
+    from npore_tpu.ops.pallas_dp import BLK, LANES, TBLK
+
+    cfg = eng.cfg
+    max_n, max_l = cfg.max_n, cfg.max_l
+    gc = eng.g_call_for(r_pad)
+    G = eng.n_shards * gc
+    W = 32
+    B = G * W
+    P2 = r_pad + 512
+    PADL = 128
+    A_OFF = r_pad + 128
+    NL = 1 + 2 * max_n
+    nblk = r_pad // BLK
+    ntb = r_pad // TBLK
+    offs, QF = ct_layout(max_n, eng.kmaxn)
+
+    idx32 = np.asarray(jax.device_get(idx32_d))
+    big8 = np.asarray(jax.device_get(big8_d))
+    ref8 = jnp.asarray(big8[0])
+    seq8 = jnp.asarray(big8[1])
+    sd8 = jnp.asarray(big8[2].reshape(-1, W, big8.shape[2]))
+    p0 = np.asarray(idx32[:, :, 0:nblk].reshape(-1, nblk))
+
+    def timeit(fn, *args):
+        f = jax.jit(fn)
+        outs = f(*args)
+        jax.device_get(jax.tree_util.tree_leaves(outs)[0][:1])
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            o = f(*args)
+            jax.device_get(jax.tree_util.tree_leaves(o)[0][:1])
+            best = min(best, time.perf_counter() - t0)
+        return outs, best
+
+    _, floor = timeit(lambda x: x + 1, jnp.zeros((8, 128), jnp.int32))
+
+    def side(x8):
+        x = x8.astype(jnp.int32)
+        L, LZ = np_info_device(x, max_n, max_l)
+        return jnp.concatenate(
+            [x[:, None, :], jnp.minimum(L, 127), LZ], axis=1)
+
+    pr, t_ref = timeit(side, ref8)
+
+    def seq_pack(x8):
+        psl = side(x8)
+        pA = psl[:, 0, :]
+        for ni in range(min(4, max_n)):
+            pA = pA | (psl[:, 1 + ni, :] << (3 + 7 * ni))
+        pB = jnp.zeros_like(pA)
+        for ni in range(4, max_n):
+            pB = pB | (psl[:, 1 + ni, :] << (7 * (ni - 4)))
+        for ni in range(max_n):
+            pB = pB | (psl[:, 1 + max_n + ni, :] << (14 + ni))
+        return jnp.stack([pA, pB], axis=1)
+
+    ps, t_seq = timeit(seq_pack, seq8)
+
+    def assemble(pr, ps):
+        base = jnp.zeros((B, NL, P2), jnp.int32)
+        base = base.at[:, 1 + max_n:, :].set(1)
+        linr_lin = base.at[:, :, PADL:PADL + r_pad].set(pr)
+        lz_def = sum(1 << (14 + ni) for ni in range(max_n))
+        base_s = jnp.zeros((B, 2, P2), jnp.int32)
+        base_s = base_s.at[:, 1, :].set(lz_def)
+        lins_lin = base_s.at[:, :, A_OFF + 1 - r_pad:A_OFF + 1].set(
+            jnp.flip(ps, axis=2))
+        return (linr_lin.reshape(B, NL, P2 // LANES, LANES),
+                lins_lin.reshape(B, 2, P2 // LANES, LANES), linr_lin)
+
+    (linr, lins, linr_lin), t_asm = timeit(assemble, pr, ps)
+
+    lanes = np.arange(LANES, dtype=np.int32)[None, None, :]
+    p0e = p0[:, :, None]
+    pidx = PADL + p0e + ((lanes - p0e) % LANES)
+    pflat = jnp.asarray(pidx.reshape(B, 1, nblk * LANES))
+
+    def gathers(linr_lin):
+        l_blk = jnp.take_along_axis(linr_lin[:, 1:1 + max_n, :], pflat,
+                                    axis=2)
+        r_blk = jnp.take_along_axis(linr_lin[:, 0:1, :], pflat,
+                                    axis=2)[:, 0, :]
+        return l_blk, r_blk
+
+    (l_blk, r_blk), t_gat = timeit(gathers, linr_lin)
+
+    iota_l = jnp.arange(np.asarray(eng.cont_cols[0][0]).shape[0],
+                        dtype=jnp.int32)
+
+    def matmuls(l_blk, r_blk):
+        parts = []
+        for ni in range(max_n):
+            tab2 = jnp.asarray(np.concatenate(
+                [np.asarray(eng.cont_cols[0][ni]),
+                 np.asarray(eng.cont_cols[1][ni])], axis=1))
+            oh = (l_blk[:, ni, :, None] == iota_l).astype(jnp.float32)
+            parts.append(jax.lax.dot_general(
+                oh, tab2, (((2,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST))
+        oh_r = (r_blk[:, :, None] == jnp.arange(5, dtype=jnp.int32)
+                ).astype(jnp.float32)
+        subT = jnp.asarray(np.ascontiguousarray(
+            np.asarray(eng.sub_scores, np.float32).T))
+        parts.append(jax.lax.dot_general(
+            oh_r, subT, (((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST))
+        g = jnp.concatenate(parts, axis=2)
+        QT = g.shape[2]
+        return g.reshape(B, nblk, LANES, QT).swapaxes(2, 3)
+
+    _, t_mm = timeit(matmuls, l_blk, r_blk)
+
+    idx = (np.arange(nblk)[:, None] * BLK + np.arange(LANES)[None, :])
+
+    def steps_fn(sd8):
+        sd = jnp.concatenate(
+            [sd8.astype(jnp.int32), jnp.zeros((G, W, 128), jnp.int32)],
+            axis=2)
+        return jnp.swapaxes(jnp.take(sd, jnp.asarray(idx), axis=2), 1, 2)
+
+    _, t_st = timeit(steps_fn, sd8)
+
+    f = floor * 1000
+    print(f"ppsplit (net of {f:.2f} ms floor): "
+          f"npinfo_ref {t_ref*1000-f:.2f}, npinfo_seq+pack {t_seq*1000-f:.2f}, "
+          f"assemble {t_asm*1000-f:.2f}, gathers {t_gat*1000-f:.2f}, "
+          f"matmuls {t_mm*1000-f:.2f}, steps {t_st*1000-f:.2f} ms")
+
+
+def _split_stages(eng, big8_d, idx32_d, sub_d, r_pad, reps):
+    """Time prepass / DP / TB as separate jits (same inputs the composite
+    unpacks), min-of-N with a device_get sync on a small output."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from npore_tpu.engine.pallas_engine import _idx_layout
+    from npore_tpu.engine.prepass import make_prepass
+    from npore_tpu.ops.pallas_dp import BLK, TBLK, get_dp_call, get_tb_call
+
+    cfg = eng.cfg
+    gc = eng.g_call_for(r_pad)
+    G = eng.n_shards * gc
+    nblk = r_pad // BLK
+    ntb = r_pad // TBLK
+    W = 32
+    prepass = make_prepass(r_pad, G, W, cfg.max_n, cfg.max_l,
+                           eng.cont_cols, eng.kmaxn,
+                           sub_scores=eng.sub_scores)
+    dp = get_dp_call(r_pad, G, cfg.r, cfg.indel_start, cfg.indel_extend,
+                     cfg.inf, cfg.max_n, eng.interpret, eng.kmaxn, 1)
+    tb = get_tb_call(r_pad, G, eng.interpret)
+
+    idx32 = np.asarray(jax.device_get(idx32_d))
+    planes = {}
+    o = 0
+    for name, width in _idx_layout(nblk, ntb):
+        planes[name] = jnp.asarray(idx32[:, :, o:o + width])
+        o += width
+    big8 = np.asarray(jax.device_get(big8_d))
+    sd8 = jnp.asarray(big8[2].reshape(-1, W, big8.shape[2]))
+    ref8 = jnp.asarray(big8[0])
+    seq8 = jnp.asarray(big8[1])
+    p0 = jnp.asarray(idx32[:, :, 0:nblk].reshape(-1, nblk))
+    maxb = planes["maxb"][:, 0]
+    scal = planes["scal"]
+
+    pp = jax.jit(prepass)
+    dpj = jax.jit(dp)
+    tbj = jax.jit(tb)
+
+    def timeit(fn, args, sync_idx):
+        outs = fn(*args)
+        jax.device_get(jax.tree_util.tree_leaves(outs)[sync_idx][:1])
+        best = float("inf")
+        for _ in range(reps):
+            t0 = __import__("time").perf_counter()
+            o_ = fn(*args)
+            jax.device_get(jax.tree_util.tree_leaves(o_)[sync_idx][:1])
+            best = min(best, __import__("time").perf_counter() - t0)
+        return outs, best
+
+    outs, t_pp = timeit(pp, (ref8, seq8, sd8, p0), 0)
+    linr, lins, steps, cts = outs
+    dpo, t_dp = timeit(
+        dpj, (planes["p0c"], planes["p0r"], planes["s0c"], planes["s0r"],
+              maxb, sub_d, scal, steps, linr, lins, cts), 0)
+    dp_bail, packed = dpo
+    _, t_tb = timeit(
+        tbj, (planes["p1c"], planes["p1r"], planes["s1c"], planes["s1r"],
+              maxb, scal, linr, lins, packed), 0)
+    print(f"split: prepass {t_pp*1000:.2f} ms, dp {t_dp*1000:.2f} ms, "
+          f"tb {t_tb*1000:.2f} ms (min-of-{reps}, incl ~dispatch latency)")
 
 
 def _pack_like_submit(eng, group, r_pad):
