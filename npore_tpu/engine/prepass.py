@@ -105,14 +105,26 @@ def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
         # tiny (101, K+2) tables. The reverse order (tables first) would
         # materialize a (B, P2, QF) intermediate and run the big gather
         # along a QF-wide axis — ~6x slower on the measured prepass.
-        # per-block lane-aligned position index:
-        # p(b, j) = p0 + ((j - p0) mod 128), array col = p + PADL
-        lanes = np.arange(LANES, dtype=np.int32)[None, None, :]
-        p0e = p0[:, :, None]
-        pidx = PADL + p0e + ((lanes - p0e) % LANES)       # (B, nblk, 128)
-        pflat = jnp.asarray(pidx.reshape(B, 1, nblk * LANES))
-        l_blk = jnp.take_along_axis(
-            linr_lin[:, 1:1 + max_n, :], pflat, axis=2)   # (B, max_n, nbl*128)
+        # Per-block lane-aligned layout WITHOUT a per-position gather
+        # (measured 21.8 ms/group as take_along_axis over position): lane
+        # j of block b is p(b, j) = p0 + ((j - p0) mod 128), which in
+        # 128-lane tiles is exactly tile[c0][j] if j >= r0 else
+        # tile[c0+1][j] with (c0, r0) = divmod(PADL + p0, 128) — a
+        # 2-indices-per-block tile gather plus a lane select (the same
+        # aligned-2-tile trick the DP kernel's DMA path uses).
+        c0 = (PADL + p0) // LANES                         # (B, nblk)
+        r0 = (PADL + p0) % LANES
+        lint = linr_lin[:, 0:1 + max_n, :].reshape(
+            B, 1 + max_n, P2 // LANES, LANES)
+        tidx = jnp.stack([c0, c0 + 1], axis=2).reshape(B, 1, nblk * 2, 1)
+        two = jnp.take_along_axis(
+            lint, tidx, axis=2).reshape(B, 1 + max_n, nblk, 2, LANES)
+        lane_i = jnp.arange(LANES, dtype=jnp.int32)
+        lsel = lane_i[None, None, :] >= r0[:, :, None]    # (B, nblk, 128)
+        blk_pl = jnp.where(lsel[:, None, :, :],
+                           two[:, :, :, 0, :], two[:, :, :, 1, :])
+        blk_pl = blk_pl.reshape(B, 1 + max_n, nblk * LANES)
+        l_blk = blk_pl[:, 1:1 + max_n, :]                 # (B, max_n, nbl*128)
         # table lookup as a one-hot MXU matmul: rows of the one-hot are
         # exact unit vectors, so (with HIGHEST precision) the product
         # selects table rows bit-exactly — ~10x the throughput of an XLA
@@ -132,8 +144,7 @@ def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
         if sub_scores is not None:
             # sub planes: plane s holds sub_scores[s, ref[pos]] in the same
             # lane-aligned layout (exact via the same one-hot matmul)
-            r_blk = jnp.take_along_axis(linr_lin[:, 0:1, :], pflat,
-                                        axis=2)[:, 0, :]   # (B, nbl*128)
+            r_blk = blk_pl[:, 0, :]                        # (B, nbl*128)
             oh_r = (r_blk[:, :, None] == jnp.arange(5, dtype=jnp.int32)
                     ).astype(jnp.float32)
             subT = jnp.asarray(np.ascontiguousarray(
@@ -143,15 +154,20 @@ def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
                 precision=jax.lax.Precision.HIGHEST))       # (B, npos, 5)
             QT = QF + 5
         g = jnp.concatenate(parts, axis=2)                # (B, nbl*128, QT)
-        cts = g.reshape(B, nblk, LANES, QT).swapaxes(2, 3)  # (B,nblk,QT,128)
+        # plane-major layout (G, nblk, QT, W, 128): the DP kernel reads
+        # ct[plane] as a contiguous (W, 128) tile (a sublane-strided
+        # (W, QT, 128) slice per read costs W strided micro-accesses) and
+        # loads each block's tiles for ALL windows with ONE DMA
+        cts = g.reshape(G, W, nblk, LANES, QT).transpose(0, 2, 4, 1, 3)
 
+        # per-block steps tiles are CONTIGUOUS slices (blk*BLK + lane),
+        # so a static stack replaces the jnp.take (measured 14.3 ms as a
+        # gather — XLA gathers on this backend cost per-index)
         sd = jnp.concatenate(
             [sd8.astype(jnp.int32),
              jnp.zeros((G, W, 128), jnp.int32)], axis=2)
-        idx = (np.arange(nblk)[:, None] * BLK
-               + np.arange(LANES)[None, :])
-        steps = jnp.take(sd, jnp.asarray(idx), axis=2)
-        steps = jnp.swapaxes(steps, 1, 2)                 # (G, nblk, W, 128)
+        steps = jnp.stack([sd[:, :, b * BLK:b * BLK + LANES]
+                           for b in range(nblk)], axis=1)  # (G, nblk, W, 128)
         return linr, lins, steps, cts
 
     return jax.jit(prepass)

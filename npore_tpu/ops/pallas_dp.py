@@ -200,36 +200,37 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
             # Aligned 2-tile DMAs + lane select: the 128-wide window at
             # arbitrary offset p0 in "lane = index mod 128" binding is
             # P[j] = tiles[0][j] if j >= p0%128 else tiles[1][j].
+            # Scratch layouts are plane-major (planes, W, 128) so every
+            # per-row read is a contiguous (W, 128) tile; the DMA engine
+            # absorbs the strided per-window writes here, off the VPU.
             dmas = []
             for w in range(W):
                 d1 = pltpu.make_async_copy(
                     linr.at[g * W + w, :, pl.ds(p0c[w, b], 2), :],
-                    lin2_b.at[w], sems.at[0])
+                    lin2_b.at[:, w], sems.at[0])
                 d2 = pltpu.make_async_copy(
                     lins.at[g * W + w, :, pl.ds(s0c[w, b], 2), :],
-                    seq2_b.at[w], sems.at[1])
+                    seq2_b.at[:, w], sems.at[1])
                 d1.start()
                 d2.start()
                 dmas.append((d1, d2))
             d3 = pltpu.make_async_copy(steps.at[g, b], steps_b, sems.at[2])
             d3.start()
-            cdmas = []
-            for w in range(W):
-                d4 = pltpu.make_async_copy(
-                    cts.at[g * W + w, b], ct.at[w], sems.at[3])
-                d4.start()
-                cdmas.append(d4)
+            # one DMA per block for every window's score tiles
+            d4 = pltpu.make_async_copy(cts.at[g, b], ct, sems.at[3])
+            d4.start()
             for d1, d2 in dmas:
                 d1.wait()
                 d2.wait()
             d3.wait()
-            for d4 in cdmas:
-                d4.wait()
+            d4.wait()
             for w in range(W):
-                lin_b[w] = jnp.where(lane1 >= p0r[w, b],
-                                     lin2_b[w, :, 0, :], lin2_b[w, :, 1, :])
-                seq_b[w] = jnp.where(lane1 >= s0r[w, b],
-                                     seq2_b[w, :, 0, :], seq2_b[w, :, 1, :])
+                lin_b[:, w, :] = jnp.where(
+                    lane1 >= p0r[w, b],
+                    lin2_b[:, w, 0, :], lin2_b[:, w, 1, :])
+                seq_b[:, w, :] = jnp.where(
+                    lane1 >= s0r[w, b],
+                    seq2_b[:, w, 0, :], seq2_b[:, w, 1, :])
             # seq planes: re-bind from (-a mod 128) to (T0 - a mod 128)
             seq_b[:] = pltpu.roll(seq_b[:], shift=(b * BLK) % LANES, axis=2)
 
@@ -266,16 +267,16 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
             ref_zero = acol >= ref_guard
 
             def SEQ(d):
-                return roll(seq_b[:, 0, :], d - 1) & 7
+                return roll(seq_b[0], d - 1) & 7
 
             def REF(d):
-                return roll(lin_b[:, 0, :], 1 - d)
+                return roll(lin_b[0], 1 - d)
 
             def LREF(dd, ni):
-                return roll(lin_b[:, 1 + ni, :], -dd)
+                return roll(lin_b[1 + ni], -dd)
 
             def LZREF(dd, ni):
-                return roll(lin_b[:, 1 + max_n + ni, :], -dd)
+                return roll(lin_b[1 + max_n + ni], -dd)
 
             # seq planes are bit-packed (see engine/prepass.py): plane0 =
             # base | L1..L4, plane1 = L5 | L6 | LZ bits — so the per-row
@@ -283,11 +284,11 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
             # 13-plane advance was ~29% of the composite)
             def LSEQ(dd, ni):
                 if ni < 4:
-                    return (roll(seq_b[:, 0, :], dd) >> (3 + 7 * ni)) & 127
-                return (roll(seq_b[:, 1, :], dd) >> (7 * (ni - 4))) & 127
+                    return (roll(seq_b[0], dd) >> (3 + 7 * ni)) & 127
+                return (roll(seq_b[1], dd) >> (7 * (ni - 4))) & 127
 
             def LZSEQ(dd, ni):
-                return (roll(seq_b[:, 1, :], dd) >> (14 + ni)) & 1
+                return (roll(seq_b[1], dd) >> (14 + ni)) & 1
 
             zi = lane * 0                      # lane-anchored {0,0} zeros
             zf = zi.astype(F32)
@@ -361,16 +362,16 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                              & mok & (bcol > 0))
 
                     start_case = lzseq_src == 1
-                    cand_s = matv_src + ct[:, qs(0, ni), :]
+                    cand_s = matv_src + ct[qs(0, ni)]
                     k_c = lenr_src // n + 1
                     cont_val = bigf
                     for kk in range(1, KU + 1):
                         cont_val = jnp.where(k_c == kk,
-                                             ct[:, qs(0, ni) + kk - 1, :],
+                                             ct[qs(0, ni) + kk - 1],
                                              cont_val)
                     cont_ok = lenr_src > 0
-                    sat = ct[:, qs(0, ni) + KN, :]
-                    lbv = ct[:, qs(0, ni) + KN + 1, :]
+                    sat = ct[qs(0, ni) + KN]
+                    lbv = ct[qs(0, ni) + KN + 1]
                     is_sat = k_c >= 99 - l_n
                     gap = (k_c > KU) & ~is_sat
                     cont_val = jnp.where(k_c > KU,
@@ -403,18 +404,18 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                     valid2 = src_ok2 & (l_n2 > 0) & (bcol < 2 * r)
 
                     start2 = lz_n2 == 1
-                    cand_s2 = matv_src2 + roll(ct[:, qs(1, ni), :], n)
+                    cand_s2 = matv_src2 + roll(ct[qs(1, ni)], n)
                     k_c2 = shrr_src // n + 1
                     cont_val2 = bigf
                     for kk in range(1, KU + 1):
                         cont_val2 = jnp.where(
-                            k_c2 == kk, roll(ct[:, qs(1, ni) + kk - 1, :], n),
+                            k_c2 == kk, roll(ct[qs(1, ni) + kk - 1], n),
                             cont_val2)
                     # anchorless first_col cells carry run=arow with no
                     # real anchor value; their lane is exactly acol == n
                     cont_ok2 = (shrr_src > 0) & (acol != n)
-                    sat2 = roll(ct[:, qs(1, ni) + KN, :], n)
-                    lbv2 = roll(ct[:, qs(1, ni) + KN + 1, :], n)
+                    sat2 = roll(ct[qs(1, ni) + KN], n)
+                    lbv2 = roll(ct[qs(1, ni) + KN + 1], n)
                     is_sat2 = k_c2 > l_n2
                     gap2 = (k_c2 > KU) & ~is_sat2
                     cont_val2 = jnp.where(k_c2 > KU,
@@ -477,7 +478,7 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
             sub = zf
             for s in range(5):
                 # roll +1: MAT consumes ref[acol-1]; ct planes bind at acol
-                sub = jnp.where(sv == s, roll(ct[:, QF + s, :], 1), sub)
+                sub = jnp.where(sv == s, roll(ct[QF + s], 1), sub)
             can_diag = (arow > 0) & (acol > 0)
             run_diag = jnp.where(matt_diag == MAT, matr_diag + 1, 1)
             v1 = jnp.where(can_diag, matv_diag + sub, del_v + INF)
@@ -529,7 +530,7 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
             # planes are reloaded fresh at the next block boundary
             adv = [0] if "noadv" in ablate else [0, 1]
             for q in adv:
-                seq_b[:, q, :] = roll(seq_b[:, q, :], 1)
+                seq_b[q] = roll(seq_b[q], 1)
 
             return ((mat_v,) + mv[:max_n - 1],
                     (mat_t, mt[0]), (mat_r, mr[0]),
@@ -573,10 +574,10 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                 pres = []
                 for ni in range(1, max_n):
                     if ni < 4:
-                        sl = (seq_b[:, 0, :] >> (3 + 7 * ni)) & 127
+                        sl = (seq_b[0] >> (3 + 7 * ni)) & 127
                     else:
-                        sl = (seq_b[:, 1, :] >> (7 * (ni - 4))) & 127
-                    pres.append(jnp.any((lin_b[:, 1 + ni, :] > 0)
+                        sl = (seq_b[1] >> (7 * (ni - 4))) & 127
+                    pres.append(jnp.any((lin_b[1 + ni] > 0)
                                         | (sl > 0)))
                 lvl = jnp.int32(0)
                 for li, nh in enumerate(levels[1:], start=1):
@@ -652,11 +653,11 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                                                np.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((W, NL, 2, LANES), np.int32),   # lin2_b
-            pltpu.VMEM((W, 2, 2, LANES), np.int32),    # seq2_b (packed)
-            pltpu.VMEM((W, NL, LANES), np.int32),
-            pltpu.VMEM((W, 2, LANES), np.int32),
-            pltpu.VMEM((W, QT, LANES), np.float32),
+            pltpu.VMEM((NL, W, 2, LANES), np.int32),   # lin2_b
+            pltpu.VMEM((2, W, 2, LANES), np.int32),    # seq2_b (packed)
+            pltpu.VMEM((NL, W, LANES), np.int32),
+            pltpu.VMEM((2, W, LANES), np.int32),
+            pltpu.VMEM((QT, W, LANES), np.float32),
             pltpu.VMEM((W, LANES), np.int32),
             pltpu.VMEM((BLK, W, LANES), np.int32),
             pltpu.VMEM((W, LANES), np.int32),
@@ -714,12 +715,14 @@ def get_tb_call(R_pad: int, G: int, interpret: bool):
                 d1.wait()
                 d2.wait()
             for w in range(W):
-                ref_b[w] = jnp.where(lane1 >= p1r[w, b],
-                                     ref2_b[w, :, 0, :], ref2_b[w, :, 1, :])
-                seq_b[w] = jnp.where(lane1 >= s1r[w, b],
-                                     seq2_b[w, :, 0, :], seq2_b[w, :, 1, :])
+                ref_b[pl.ds(w, 1)] = jnp.where(
+                    lane1 >= p1r[w, b],
+                    ref2_b[w, :, 0, :], ref2_b[w, :, 1, :])
+                seq_b[pl.ds(w, 1)] = jnp.where(
+                    lane1 >= s1r[w, b],
+                    seq2_b[w, :, 0, :], seq2_b[w, :, 1, :])
             seq_b[:] = pltpu.roll(seq_b[:],
-                                  shift=(b * TBLK + TBLK - 1) % LANES, axis=2)
+                                  shift=(b * TBLK + TBLK - 1) % LANES, axis=1)
 
         def row_step(t, carry):
             arow, acol, pend, done, bail = carry      # done/bail: i32 0/1
@@ -740,10 +743,10 @@ def get_tb_call(R_pad: int, G: int, interpret: bool):
             in_m = active & (pend > 0)
 
             ohs = lane == ((acol + 1) % LANES)
-            sv = jnp.sum(jnp.where(ohs, seq_b[:, 0, :] & 7, 0), axis=1,
+            sv = jnp.sum(jnp.where(ohs, seq_b[:] & 7, 0), axis=1,
                          keepdims=True)
             ohr = lane == ((acol - 1) % LANES)
-            rv = jnp.sum(jnp.where(ohr, ref_b[:, 0, :], 0), axis=1,
+            rv = jnp.sum(jnp.where(ohr, ref_b[:], 0), axis=1,
                          keepdims=True)
             cmp_op = jnp.where(sv == rv, OP_EQ, OP_X)
 
@@ -764,8 +767,7 @@ def get_tb_call(R_pad: int, G: int, interpret: bool):
             sl_b[:] = sl_b[:] | jnp.where((lane == (t % LANES)) & (slot != 0),
                                           slot, 0)
 
-            seq_b[:, 0, :] = pltpu.roll(seq_b[:, 0, :], shift=LANES - 1,
-                                        axis=1)
+            seq_b[:] = pltpu.roll(seq_b[:], shift=LANES - 1, axis=1)
             return (arow, acol, pend, done, bail)
 
         def blk_body(bb, carry):
@@ -824,8 +826,8 @@ def get_tb_call(R_pad: int, G: int, interpret: bool):
         scratch_shapes=[
             pltpu.VMEM((W, 1, 2, LANES), np.int32),
             pltpu.VMEM((W, 1, 2, LANES), np.int32),
-            pltpu.VMEM((W, 1, LANES), np.int32),
-            pltpu.VMEM((W, 1, LANES), np.int32),
+            pltpu.VMEM((W, LANES), np.int32),
+            pltpu.VMEM((W, LANES), np.int32),
             pltpu.VMEM((TBLK, W, LANES), np.int32),
             pltpu.VMEM((W, LANES), np.int32),
             pltpu.VMEM((W, LANES), np.int32),

@@ -179,17 +179,22 @@ def _pp_split(eng, big8_d, idx32_d, r_pad, reps):
 
     (linr, lins, linr_lin), t_asm = timeit(assemble, pr, ps)
 
-    lanes = np.arange(LANES, dtype=np.int32)[None, None, :]
-    p0e = p0[:, :, None]
-    pidx = PADL + p0e + ((lanes - p0e) % LANES)
-    pflat = jnp.asarray(pidx.reshape(B, 1, nblk * LANES))
+    c0 = (PADL + p0) // LANES
+    r0 = (PADL + p0) % LANES
+    tidx = jnp.asarray(np.stack([c0, c0 + 1], axis=2).reshape(
+        B, 1, nblk * 2, 1))
+    lsel = jnp.asarray(np.arange(LANES, dtype=np.int32)[None, None, :]
+                       >= r0[:, :, None])
 
     def gathers(linr_lin):
-        l_blk = jnp.take_along_axis(linr_lin[:, 1:1 + max_n, :], pflat,
-                                    axis=2)
-        r_blk = jnp.take_along_axis(linr_lin[:, 0:1, :], pflat,
-                                    axis=2)[:, 0, :]
-        return l_blk, r_blk
+        lint = linr_lin[:, 0:1 + max_n, :].reshape(
+            B, 1 + max_n, P2 // LANES, LANES)
+        two = jnp.take_along_axis(
+            lint, tidx, axis=2).reshape(B, 1 + max_n, nblk, 2, LANES)
+        blk_pl = jnp.where(lsel[:, None, :, :],
+                           two[:, :, :, 0, :], two[:, :, :, 1, :])
+        blk_pl = blk_pl.reshape(B, 1 + max_n, nblk * LANES)
+        return blk_pl[:, 1:, :], blk_pl[:, 0, :]
 
     (l_blk, r_blk), t_gat = timeit(gathers, linr_lin)
 
@@ -215,17 +220,16 @@ def _pp_split(eng, big8_d, idx32_d, r_pad, reps):
             precision=jax.lax.Precision.HIGHEST))
         g = jnp.concatenate(parts, axis=2)
         QT = g.shape[2]
-        return g.reshape(B, nblk, LANES, QT).swapaxes(2, 3)
+        return g.reshape(G, W, nblk, LANES, QT).transpose(0, 2, 4, 1, 3)
 
     _, t_mm = timeit(matmuls, l_blk, r_blk)
-
-    idx = (np.arange(nblk)[:, None] * BLK + np.arange(LANES)[None, :])
 
     def steps_fn(sd8):
         sd = jnp.concatenate(
             [sd8.astype(jnp.int32), jnp.zeros((G, W, 128), jnp.int32)],
             axis=2)
-        return jnp.swapaxes(jnp.take(sd, jnp.asarray(idx), axis=2), 1, 2)
+        return jnp.stack([sd[:, :, b * BLK:b * BLK + LANES]
+                          for b in range(nblk)], axis=1)
 
     _, t_st = timeit(steps_fn, sd8)
 
