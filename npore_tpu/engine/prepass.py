@@ -87,15 +87,24 @@ def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
             pB = pB | (psl[:, 1 + max_n + ni, :] << (14 + ni))
         ps = jnp.stack([pA, pB], axis=1)                 # (B, 2, r_pad)
 
-        base = jnp.zeros((B, NL, P2), jnp.int32)
-        base = base.at[:, 1 + max_n:, :].set(1)          # LZ default 1
-        linr_lin = base.at[:, :, PADL:PADL + r_pad].set(pr)
+        # pad to P2 columns with per-plane defaults by CONCAT (an
+        # .at[].set into a zeros buffer lowers to full-tensor
+        # dynamic-update-slices — two extra (B, NL, P2) copies)
+        defr = np.zeros((NL, 1), np.int32)
+        defr[1 + max_n:] = 1                             # LZ default 1
+        linr_lin = jnp.concatenate(
+            [jnp.broadcast_to(jnp.asarray(defr), (B, NL, PADL)), pr,
+             jnp.broadcast_to(jnp.asarray(defr),
+                              (B, NL, P2 - PADL - r_pad))], axis=2)
         # packed defaults outside the window: L=0, LZ=1, base=0
         lz_def = sum(1 << (14 + ni) for ni in range(max_n))
-        base_s = jnp.zeros((B, 2, P2), jnp.int32)
-        base_s = base_s.at[:, 1, :].set(lz_def)
-        lins_lin = base_s.at[:, :, A_OFF + 1 - r_pad:A_OFF + 1].set(
-            jnp.flip(ps, axis=2))
+        defs = np.zeros((2, 1), np.int32)
+        defs[1] = lz_def
+        lins_lin = jnp.concatenate(
+            [jnp.broadcast_to(jnp.asarray(defs), (B, 2, A_OFF + 1 - r_pad)),
+             jnp.flip(ps, axis=2),
+             jnp.broadcast_to(jnp.asarray(defs), (B, 2, P2 - A_OFF - 1))],
+            axis=2)
         linr = linr_lin.reshape(B, NL, P2 // LANES, LANES)
         lins = lins_lin.reshape(B, 2, P2 // LANES, LANES)
 

@@ -721,18 +721,30 @@ def get_tb_call(R_pad: int, G: int, interpret: bool):
                 seq_b[pl.ds(w, 1)] = jnp.where(
                     lane1 >= s1r[w, b],
                     seq2_b[w, :, 0, :], seq2_b[w, :, 1, :])
+            # re-bind both planes to lane acol%LANES (ref: pos -> pos+1;
+            # seq: one lane earlier than the old acol+1 binding) so the
+            # row step needs a single fused one-hot reduce
+            ref_b[:] = pltpu.roll(ref_b[:], shift=1, axis=1)
             seq_b[:] = pltpu.roll(seq_b[:],
-                                  shift=(b * TBLK + TBLK - 1) % LANES, axis=1)
+                                  shift=(b * TBLK + TBLK - 2) % LANES, axis=1)
 
         def row_step(t, carry):
             arow, acol, pend, done, bail = carry      # done/bail: i32 0/1
             active = (done == 0) & (arow + acol == t)
 
+            # fused one-hot: ref[acol-1], seq base, and the packed MAT
+            # plane all bind lane acol%LANES (see load_block re-binds),
+            # so ONE cross-lane reduce per row replaces the previous
+            # three (~0.4us each on this backend). Bit budget: ref 3b |
+            # seq 3b | typ 3b | run<<9 (run <= rows < 2^22).
             oh = lane == (acol % LANES)
             pk_row = pk_b[pl.ds(t % TBLK, 1)][0]
-            pv = jnp.sum(jnp.where(oh, pk_row, 0), axis=1, keepdims=True)
-            typ = pv & 7
-            run = pv >> 3
+            cmb = ref_b[:] | ((seq_b[:] & 7) << 3) | (pk_row << 6)
+            cv = jnp.sum(jnp.where(oh, cmb, 0), axis=1, keepdims=True)
+            typ = (cv >> 6) & 7
+            run = cv >> 9
+            sv = (cv >> 3) & 7
+            rv = cv & 7
 
             fresh = active & (pend == 0)
             bad = fresh & (run < 1)
@@ -742,12 +754,6 @@ def get_tb_call(R_pad: int, G: int, interpret: bool):
             pend = jnp.where(is_m, run, pend)
             in_m = active & (pend > 0)
 
-            ohs = lane == ((acol + 1) % LANES)
-            sv = jnp.sum(jnp.where(ohs, seq_b[:] & 7, 0), axis=1,
-                         keepdims=True)
-            ohr = lane == ((acol - 1) % LANES)
-            rv = jnp.sum(jnp.where(ohr, ref_b[:], 0), axis=1,
-                         keepdims=True)
             cmp_op = jnp.where(sv == rv, OP_EQ, OP_X)
 
             slot = jnp.where(in_m, cmp_op + (1 << 2), 0)

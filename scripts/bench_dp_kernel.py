@@ -166,14 +166,21 @@ def _pp_split(eng, big8_d, idx32_d, r_pad, reps):
     ps, t_seq = timeit(seq_pack, seq8)
 
     def assemble(pr, ps):
-        base = jnp.zeros((B, NL, P2), jnp.int32)
-        base = base.at[:, 1 + max_n:, :].set(1)
-        linr_lin = base.at[:, :, PADL:PADL + r_pad].set(pr)
+        defr = np.zeros((NL, 1), np.int32)
+        defr[1 + max_n:] = 1
+        linr_lin = jnp.concatenate(
+            [jnp.broadcast_to(jnp.asarray(defr), (B, NL, PADL)), pr,
+             jnp.broadcast_to(jnp.asarray(defr),
+                              (B, NL, P2 - PADL - r_pad))], axis=2)
         lz_def = sum(1 << (14 + ni) for ni in range(max_n))
-        base_s = jnp.zeros((B, 2, P2), jnp.int32)
-        base_s = base_s.at[:, 1, :].set(lz_def)
-        lins_lin = base_s.at[:, :, A_OFF + 1 - r_pad:A_OFF + 1].set(
-            jnp.flip(ps, axis=2))
+        defs = np.zeros((2, 1), np.int32)
+        defs[1] = lz_def
+        lins_lin = jnp.concatenate(
+            [jnp.broadcast_to(jnp.asarray(defs),
+                              (B, 2, A_OFF + 1 - r_pad)),
+             jnp.flip(ps, axis=2),
+             jnp.broadcast_to(jnp.asarray(defs), (B, 2, P2 - A_OFF - 1))],
+            axis=2)
         return (linr_lin.reshape(B, NL, P2 // LANES, LANES),
                 lins_lin.reshape(B, 2, P2 // LANES, LANES), linr_lin)
 
