@@ -12,6 +12,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..config import AlignConfig
+from ..native import fill_group_native
 from ..ops.pallas_dp import (BLK, KMAXN, LANES, MAXB_Q, RQ, TBLK, W,
                              build_cont_cols, get_dp_call, get_tb_call)
 
@@ -59,11 +60,14 @@ def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
     ntb = r_pad // TBLK
 
     # the host packs every small per-group plane into ONE int32 transfer
-    # (idx32) and the three int8 planes into another (big8): one tunneled
-    # H2D per kind instead of 15 (each put pays ~25ms tunnel latency)
-    def run(big8, idx32, sub):
-        ref8, seq8 = big8[0], big8[1]
-        sd8 = big8[2].reshape(-1, W, big8.shape[2])
+    # (idx32) and ref | seq<<3 | step<<6 into ONE uint8 plane (pk8): two
+    # tunneled H2D per group (each put pays ~25ms latency), and the byte
+    # packing sends a third of the bytes of separate ref/seq/step planes
+    # over the ~60 MB/s tunnel
+    def run(pk8, idx32, sub):
+        ref8 = pk8 & 7
+        seq8 = (pk8 >> 3) & 7
+        sd8 = (pk8 >> 6).reshape(-1, W, pk8.shape[1])
         planes = {}
         o = 0
         for name, width in _idx_layout(nblk, ntb):
@@ -92,7 +96,7 @@ def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
         def spec(a_ndim):
             return P(*(("data",) + (None,) * (a_ndim - 1)))
 
-        in_specs = (P(None, "data", None), spec(3), P(None, None))
+        in_specs = (spec(2), spec(3), P(None, None))
         out_specs = (spec(3), spec(3), spec(4))
         run = shard_map(run, mesh=mesh, in_specs=in_specs,
                         out_specs=out_specs, check_vma=False)
@@ -288,32 +292,65 @@ class PallasEngine:
         gc = self.g_call_for(r_pad)
         G = self.n_shards * gc              # global programs per dispatch
         B = G * W
-        NL = 1 + 2 * max_n
-        PADL = 128            # leading pad (multiple of 128 keeps lane binding)
-        A_OFF = r_pad + 128   # reversed seq side: position a at col A_OFF - a
         nblk = r_pad // BLK
         ntb = r_pad // TBLK
 
-        # one int8 pack (ref | seq | step-deltas) and one int32 pack of all
+        # ONE uint8 pack (ref | seq<<3 | step<<6) and one int32 pack of all
         # the small index/scalar planes: 2 tunneled H2D per group, not 15
-        big8 = np.zeros((3, B, r_pad), np.int8)
-        ref8 = big8[0]
-        seq8 = big8[1]
-        sd8 = big8[2].reshape(G, W, r_pad)
+        pk8 = np.zeros((B, r_pad), np.uint8)
         layout = _idx_layout(nblk, ntb)
         idx32 = np.zeros((G, W, sum(w_ for _, w_ in layout)), np.int32)
+        max_rows = fill_group_native(group, r_pad, r, BLK, TBLK, nblk, ntb,
+                                     pk8, idx32.reshape(B, -1))
+        if max_rows is None:            # no compiler: numpy fallback
+            max_rows = self._fill_group_py(group, pk8, idx32, r_pad)
+        mb = ((max_rows + MAXB_Q - 1) // MAXB_Q) * MAXB_Q - 1
+        mb = min(mb, r_pad - 1)
+        idx32[:, :, -1] = mb            # group-wide maxb plane
+
+        key = r_pad
+        if key not in self._composites:
+            with self._compile_lock:    # compile each shape exactly once
+                if key not in self._composites:
+                    self._composites[key] = _make_composite(
+                        r_pad, gc, r, cfg.indel_start,
+                        cfg.indel_extend, cfg.inf, max_n, cfg.max_l,
+                        self.interpret, self.cont_cols, self.kmaxn,
+                        mesh=self.mesh, sub_scores=self.sub_scores)
+        run, packed16 = self._composites[key]
+        if (key, dev) not in self._warm:
+            # serialize the first (compiling) execution of each
+            # (shape, device) so concurrent submitters never duplicate a
+            # multi-minute compile
+            with self._compile_lock:
+                dp_bail, tb_bail, slots = run(
+                    put(pk8), put(idx32), sub_dev)
+                self._warm.add((key, dev))
+        else:
+            dp_bail, tb_bail, slots = run(
+                put(pk8), put(idx32), sub_dev)
+        return (dp_bail, tb_bail, slots, mb, packed16)
+
+    def _fill_group_py(self, group: Sequence[Window], pk8: np.ndarray,
+                       idx32: np.ndarray, r_pad: int) -> int:
+        """numpy fallback of native.fill_group (and its equality oracle —
+        tests/test_groupfill.py pins the two bit-identical)."""
+        r = self.cfg.r
+        PADL = 128
+        A_OFF = r_pad + 128
+        nblk = r_pad // BLK
+        ntb = r_pad // TBLK
         planes = {}
         o = 0
-        for name, width in layout:
+        for name, width in _idx_layout(nblk, ntb):
             planes[name] = idx32[:, :, o:o + width]
             o += width
-        p0blk = planes["p0blk"]         # (G, W, nblk) view; run() flattens
+        p0blk = planes["p0blk"]
         p0c, p0r, s0c, s0r = (planes[k] for k in
                               ("p0c", "p0r", "s0c", "s0r"))
         p1c, p1r, s1c, s1r = (planes[k] for k in
                               ("p1c", "p1r", "s1c", "s1r"))
         scal = planes["scal"]
-        maxb = planes["maxb"]           # broadcast per-W; run() reads [:,0]
 
         blk_T0 = np.arange(nblk, dtype=np.int64) * BLK
         tb_T0 = np.arange(ntb, dtype=np.int64) * TBLK
@@ -323,13 +360,14 @@ class PallasEngine:
         for j, w in enumerate(group):
             g, wl = divmod(j, W)
             max_rows = max(max_rows, w.b_rows)
-            ref8[j, :len(w.ref)] = w.ref
-            seq8[j, :len(w.seq)] = w.seq
+            pk8[j, :len(w.ref)] = np.asarray(w.ref).astype(np.uint8) & 7
+            pk8[j, :len(w.seq)] |= (np.asarray(w.seq).astype(np.uint8)
+                                    & 7) << 3
 
             R_w = w.b_rows
             inss = w.inss_local.astype(np.int64)
             dels = np.arange(R_w) - inss
-            sd8[g, wl, 1:R_w] = np.diff(dels)
+            pk8[j, 1:R_w] |= (np.diff(dels).astype(np.uint8)) << 6
             scal[g, wl] = (R_w, w.n_ins, w.n_del, w.ref_guard, w.seq_guard,
                            0, 0, 0)
 
@@ -348,32 +386,7 @@ class PallasEngine:
             sidx = A_OFF - (inss[np.minimum(tb_T1, last)] + r + 2)
             s1c[g, wl] = sidx // LANES
             s1r[g, wl] = sidx % LANES
-        mb = ((max_rows + MAXB_Q - 1) // MAXB_Q) * MAXB_Q - 1
-        mb = min(mb, r_pad - 1)
-        maxb[:, :, 0] = mb
-
-        key = r_pad
-        if key not in self._composites:
-            with self._compile_lock:    # compile each shape exactly once
-                if key not in self._composites:
-                    self._composites[key] = _make_composite(
-                        r_pad, gc, r, cfg.indel_start,
-                        cfg.indel_extend, cfg.inf, max_n, cfg.max_l,
-                        self.interpret, self.cont_cols, self.kmaxn,
-                        mesh=self.mesh, sub_scores=self.sub_scores)
-        run, packed16 = self._composites[key]
-        if (key, dev) not in self._warm:
-            # serialize the first (compiling) execution of each
-            # (shape, device) so concurrent submitters never duplicate a
-            # multi-minute compile
-            with self._compile_lock:
-                dp_bail, tb_bail, slots = run(
-                    put(big8), put(idx32), sub_dev)
-                self._warm.add((key, dev))
-        else:
-            dp_bail, tb_bail, slots = run(
-                put(big8), put(idx32), sub_dev)
-        return (dp_bail, tb_bail, slots, mb, packed16)
+        return max_rows
 
     def _collect_group(self, group: Sequence[Window], handles):
         import jax

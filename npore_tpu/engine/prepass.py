@@ -36,12 +36,16 @@ def ct_layout(max_n: int, kmaxn=KMAXN):
 
 
 def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
-                 cont_cols, kmaxn=KMAXN, sub_scores=None):
+                 cont_cols, kmaxn=KMAXN, sub_scores=None, stop_after=None):
     """cont_cols: build_cont_cols() output (numpy; embedded as constants).
     sub_scores: (5,5) float32; when given, 5 extra ref-bound planes
     ``sub_scores[s, ref[pos]]`` are appended to the score tiles so the DP
     kernel selects the substitution penalty with a 5-way select on the
-    seq base instead of a 25-way select on (seq, ref) pairs."""
+    seq base instead of a 25-way select on (seq, ref) pairs.
+    stop_after: benchmarking hook (scripts/bench_dp_kernel.py --ppcum);
+    one of "tables"/"gather"/"matmul"/"relayout" truncates the traced
+    graph after that stage so cumulative in-fusion stage costs can be
+    timed. Production passes None."""
     import jax
     import jax.numpy as jnp
     from ..ops.npinfo_device import np_info_device
@@ -107,6 +111,8 @@ def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
             axis=2)
         linr = linr_lin.reshape(B, NL, P2 // LANES, LANES)
         lins = lins_lin.reshape(B, 2, P2 // LANES, LANES)
+        if stop_after == "tables":
+            return linr, lins
 
         # ---- score tiles: lookup by l per (side, n), full-k columns ----
         # Gather order matters: first pull the (small) per-position l
@@ -133,6 +139,8 @@ def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
         blk_pl = jnp.where(lsel[:, None, :, :],
                            two[:, :, :, 0, :], two[:, :, :, 1, :])
         blk_pl = blk_pl.reshape(B, 1 + max_n, nblk * LANES)
+        if stop_after == "gather":
+            return linr, lins, blk_pl
         l_blk = blk_pl[:, 1:1 + max_n, :]                 # (B, max_n, nbl*128)
         # table lookup as a one-hot MXU matmul: rows of the one-hot are
         # exact unit vectors, so (with HIGHEST precision) the product
@@ -163,11 +171,15 @@ def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
                 precision=jax.lax.Precision.HIGHEST))       # (B, npos, 5)
             QT = QF + 5
         g = jnp.concatenate(parts, axis=2)                # (B, nbl*128, QT)
+        if stop_after == "matmul":
+            return linr, lins, g
         # plane-major layout (G, nblk, QT, W, 128): the DP kernel reads
         # ct[plane] as a contiguous (W, 128) tile (a sublane-strided
         # (W, QT, 128) slice per read costs W strided micro-accesses) and
         # loads each block's tiles for ALL windows with ONE DMA
         cts = g.reshape(G, W, nblk, LANES, QT).transpose(0, 2, 4, 1, 3)
+        if stop_after == "relayout":
+            return linr, lins, cts
 
         # per-block steps tiles are CONTIGUOUS slices (blk*BLK + lane),
         # so a static stack replaces the jnp.take (measured 14.3 ms as a

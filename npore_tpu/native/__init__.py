@@ -27,7 +27,8 @@ def _build() -> Optional[str]:
         return None
     srcs = [os.path.join(_HERE, "npinfo.cpp"),
             os.path.join(_HERE, "golden_align.cpp"),
-            os.path.join(_HERE, "bamio.cpp")]
+            os.path.join(_HERE, "bamio.cpp"),
+            os.path.join(_HERE, "groupfill.cpp")]
     out = os.path.join(cache, "libnpore_native.so")
     if (os.path.exists(out)
             and all(os.path.getmtime(out) >= os.path.getmtime(s_)
@@ -76,6 +77,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.c_int64, ctypes.c_float, ctypes.c_float,
                     ctypes.c_char_p]
                 lib.golden_align.restype = ctypes.c_int64
+                u64p = ctypes.POINTER(ctypes.c_uint64)
+                i64p = ctypes.POINTER(ctypes.c_int64)
+                i32p = ctypes.POINTER(ctypes.c_int32)
+                lib.fill_group.argtypes = [
+                    ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                    ctypes.c_int32, ctypes.c_int32,
+                    u64p, i64p, u64p, i64p, u64p, i32p,
+                    ctypes.POINTER(ctypes.c_uint8), i32p]
+                lib.fill_group.restype = ctypes.c_int32
                 _lib = lib
             except Exception:
                 _lib = None
@@ -134,6 +145,41 @@ def finalize_cigar_native(extended: str, int_ref: np.ndarray,
     if n < 0:
         raise ValueError(f"invalid CIGAR op in {extended[:40]!r}...")
     return out[:n].tobytes().decode("ascii")
+
+
+def fill_group_native(group, r_pad: int, r: int, blk: int, tblk: int,
+                      nblk: int, ntb: int, pk8: np.ndarray,
+                      idx32_flat: np.ndarray) -> Optional[int]:
+    """One-call C++ group fill (pk8 byte plane + idx32 index planes for
+    every window); returns group max_rows, or None without a compiler.
+    Bit-identical to the Python loop in _submit_group (pinned by
+    tests/test_groupfill.py)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(group)
+    ni = idx32_flat.shape[1]
+    ref_ptrs = np.fromiter((w.ref.ctypes.data for w in group),
+                           np.uint64, n)
+    seq_ptrs = np.fromiter((w.seq.ctypes.data for w in group),
+                           np.uint64, n)
+    inss_ptrs = np.fromiter((w.inss_local.ctypes.data for w in group),
+                            np.uint64, n)
+    ref_lens = np.fromiter((len(w.ref) for w in group), np.int64, n)
+    seq_lens = np.fromiter((len(w.seq) for w in group), np.int64, n)
+    scal5 = np.fromiter(
+        ((w.b_rows, w.n_ins, w.n_del, w.ref_guard, w.seq_guard)
+         for w in group), np.dtype((np.int32, 5)), n)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    return int(lib.fill_group(
+        n, r_pad, r, blk, tblk, nblk, ntb, ni,
+        ref_ptrs.ctypes.data_as(u64p), ref_lens.ctypes.data_as(i64p),
+        seq_ptrs.ctypes.data_as(u64p), seq_lens.ctypes.data_as(i64p),
+        inss_ptrs.ctypes.data_as(u64p), scal5.ctypes.data_as(i32p),
+        pk8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        idx32_flat.ctypes.data_as(i32p)))
 
 
 def golden_align_native(full_ref: np.ndarray, full_seq: np.ndarray,

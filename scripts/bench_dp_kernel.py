@@ -58,16 +58,16 @@ def main() -> int:
     run, packed16 = eng._composites[r_pad]
     # rebuild the packed host arrays once more, keep them on device
     import npore_tpu.engine.pallas_engine as pe
-    big8, idx32 = _pack_like_submit(eng, group, r_pad)
+    pk8, idx32 = _pack_like_submit(eng, group, r_pad)
     dev = eng.devices[0]
-    big8_d = jax.device_put(big8, dev)
+    pk8_d = jax.device_put(pk8, dev)
     idx32_d = jax.device_put(idx32, dev)
     sub_d = jax.device_put(eng._sub, dev)
 
     # block_until_ready does NOT synchronize on the tunneled axon backend;
     # a (small) device_get is the only true sync. Its ~25 ms latency is a
     # constant additive term: report both raw and latency-corrected times.
-    outs = run(big8_d, idx32_d, sub_d)
+    outs = run(pk8_d, idx32_d, sub_d)
     _ = jax.device_get(outs[0])
     # estimate the fetch-only latency on an already-computed buffer
     lat = float("inf")
@@ -78,7 +78,7 @@ def main() -> int:
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        o = run(big8_d, idx32_d, sub_d)
+        o = run(pk8_d, idx32_d, sub_d)
         jax.device_get(o[0])
         best = min(best, time.perf_counter() - t0)
     nwin = len(group)
@@ -90,13 +90,69 @@ def main() -> int:
           f"-> {net*1e6/nwin:.1f} us/window")
 
     if "--split" in sys.argv:
-        _split_stages(eng, big8_d, idx32_d, sub_d, r_pad, reps)
+        _split_stages(eng, pk8_d, idx32_d, sub_d, r_pad, reps)
     if "--ppsplit" in sys.argv:
-        _pp_split(eng, big8_d, idx32_d, r_pad, reps)
+        _pp_split(eng, pk8_d, idx32_d, r_pad, reps)
+    if "--ppcum" in sys.argv:
+        _pp_cum(eng, pk8_d, idx32_d, r_pad, reps)
     return 0
 
 
-def _pp_split(eng, big8_d, idx32_d, r_pad, reps):
+def _pp_cum(eng, pk8_d, idx32_d, r_pad, reps):
+    """Cumulative prepass timing: each variant is ONE jit running the
+    real prepass truncated after a stage, so fusion/layout behavior
+    matches the composite (unlike _pp_split's isolated stage jits, whose
+    numbers diverge wildly — e.g. the matmul+transpose stage measures
+    seconds isolated but milliseconds fused). Successive deltas are the
+    true in-composite stage costs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from npore_tpu.engine.prepass import make_prepass
+    from npore_tpu.ops.pallas_dp import BLK
+
+    cfg = eng.cfg
+    gc = eng.g_call_for(r_pad)
+    G = eng.n_shards * gc
+    W = 32
+    nblk = r_pad // BLK
+
+    idx32 = np.asarray(jax.device_get(idx32_d))
+    pk8 = np.asarray(jax.device_get(pk8_d))
+    ref8 = jnp.asarray(pk8 & 7)
+    seq8 = jnp.asarray((pk8 >> 3) & 7)
+    sd8 = jnp.asarray((pk8 >> 6).reshape(-1, W, pk8.shape[1]))
+    p0 = np.asarray(idx32[:, :, 0:nblk].reshape(-1, nblk))
+
+    def timeit(f):
+        outs = f(ref8, seq8, sd8, p0)
+        jax.device_get(jax.tree_util.tree_leaves(outs)[0][:1])
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            o = f(ref8, seq8, sd8, p0)
+            jax.device_get(jax.tree_util.tree_leaves(o)[0][:1])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def make(stop):
+        return make_prepass(r_pad, G, W, cfg.max_n, cfg.max_l,
+                            eng.cont_cols, eng.kmaxn,
+                            sub_scores=eng.sub_scores, stop_after=stop)
+
+    floor = timeit(jax.jit(
+        lambda a, b, c, d: jnp.sum(a[:1, :8].astype(jnp.int32))))
+    stages = ["tables", "gather", "matmul", "relayout", None]
+    prev, out = floor, []
+    for s in stages:
+        t = timeit(make(s))
+        out.append(f"{s or 'full'} +{(t - prev) * 1000:.2f}")
+        prev = t
+    print(f"ppcum (floor {floor * 1000:.2f} ms): " + ", ".join(out)
+          + f"; full total {(prev - floor) * 1000:.2f} ms")
+
+
+def _pp_split(eng, pk8_d, idx32_d, r_pad, reps):
     """Time the prepass sub-stages as separate jits (npinfo ref/seq+pack,
     table assembly, block gathers, one-hot matmuls, steps) and report each
     net of the measured dispatch+fetch floor."""
@@ -123,10 +179,10 @@ def _pp_split(eng, big8_d, idx32_d, r_pad, reps):
     offs, QF = ct_layout(max_n, eng.kmaxn)
 
     idx32 = np.asarray(jax.device_get(idx32_d))
-    big8 = np.asarray(jax.device_get(big8_d))
-    ref8 = jnp.asarray(big8[0])
-    seq8 = jnp.asarray(big8[1])
-    sd8 = jnp.asarray(big8[2].reshape(-1, W, big8.shape[2]))
+    pk8 = np.asarray(jax.device_get(pk8_d))
+    ref8 = jnp.asarray(pk8 & 7)
+    seq8 = jnp.asarray((pk8 >> 3) & 7)
+    sd8 = jnp.asarray((pk8 >> 6).reshape(-1, W, pk8.shape[1]))
     p0 = np.asarray(idx32[:, :, 0:nblk].reshape(-1, nblk))
 
     def timeit(fn, *args):
@@ -247,7 +303,7 @@ def _pp_split(eng, big8_d, idx32_d, r_pad, reps):
           f"matmuls {t_mm*1000-f:.2f}, steps {t_st*1000-f:.2f} ms")
 
 
-def _split_stages(eng, big8_d, idx32_d, sub_d, r_pad, reps):
+def _split_stages(eng, pk8_d, idx32_d, sub_d, r_pad, reps):
     """Time prepass / DP / TB as separate jits (same inputs the composite
     unpacks), min-of-N with a device_get sync on a small output."""
     import jax
@@ -276,10 +332,10 @@ def _split_stages(eng, big8_d, idx32_d, sub_d, r_pad, reps):
     for name, width in _idx_layout(nblk, ntb):
         planes[name] = jnp.asarray(idx32[:, :, o:o + width])
         o += width
-    big8 = np.asarray(jax.device_get(big8_d))
-    sd8 = jnp.asarray(big8[2].reshape(-1, W, big8.shape[2]))
-    ref8 = jnp.asarray(big8[0])
-    seq8 = jnp.asarray(big8[1])
+    pk8 = np.asarray(jax.device_get(pk8_d))
+    ref8 = jnp.asarray(pk8 & 7)
+    seq8 = jnp.asarray((pk8 >> 3) & 7)
+    sd8 = jnp.asarray((pk8 >> 6).reshape(-1, W, pk8.shape[1]))
     p0 = jnp.asarray(idx32[:, :, 0:nblk].reshape(-1, nblk))
     maxb = planes["maxb"][:, 0]
     scal = planes["scal"]
@@ -333,9 +389,9 @@ def _pack_like_submit(eng, group, r_pad):
     finally:
         jax.device_put = orig_put
     arrays = [a for a in captured["arrays"]]
-    big8 = next(a for a in arrays if a.dtype == np.int8)
+    pk8 = next(a for a in arrays if a.dtype == np.uint8)
     idx32 = next(a for a in arrays if a.dtype == np.int32 and a.ndim == 3)
-    return big8, idx32
+    return pk8, idx32
 
 
 if __name__ == "__main__":
