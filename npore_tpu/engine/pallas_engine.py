@@ -28,10 +28,11 @@ _OPCH = np.frombuffer(b"=XID", dtype=np.uint8)
 def _idx_layout(nblk: int, ntb: int):
     """Single source of truth for the packed idx32 plane order: the host
     packer (_submit_group) and the traced unpacker (run) both iterate
-    this, so the layouts can never diverge."""
-    return (("p0blk", nblk),
-            ("p0c", nblk), ("p0r", nblk), ("s0c", nblk), ("s0r", nblk),
-            ("p1c", ntb), ("p1r", ntb), ("s1c", ntb), ("s1r", ntb),
+    this, so the layouts can never diverge. Only the 4 base planes ride
+    the tunnel; the 8 tile/lane (div/mod 128) planes the kernels consume
+    are derived on device in run() — half the idx32 H2D bytes."""
+    return (("p0blk", nblk), ("i0blk", nblk),
+            ("p1blk", ntb), ("i1blk", ntb),
             ("scal", 8), ("maxb", 1))
 def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
                     indel_extend: float, inf: float, max_n: int, max_l: int,
@@ -55,7 +56,6 @@ def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
     dp = get_dp_call(r_pad, G, r, indel_start, indel_extend, inf, max_n,
                      interpret, kmaxn, unroll)
     tb = get_tb_call(r_pad, G, interpret)
-    packed16 = r_pad * 4 + 4 < (1 << 16)
     nblk = r_pad // BLK
     ntb = r_pad // TBLK
 
@@ -74,10 +74,17 @@ def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
             planes[name] = idx32[:, :, o:o + width]
             o += width
         p0 = planes["p0blk"].reshape(-1, nblk)
-        p0c, p0r, s0c, s0r = (planes[k] for k in
-                              ("p0c", "p0r", "s0c", "s0r"))
-        p1c, p1r, s1c, s1r = (planes[k] for k in
-                              ("p1c", "p1r", "s1c", "s1r"))
+        # derive the DMA tile/lane planes on device (floor div/mod 128,
+        # matching the host fallback's Python semantics for negatives)
+        a_off = r_pad + 128
+        t0 = planes["p0blk"] + 128
+        p0c, p0r = t0 // 128, t0 % 128
+        t0 = a_off - (planes["i0blk"] - r - 7 + 127)
+        s0c, s0r = t0 // 128, t0 % 128
+        t0 = planes["p1blk"] - r - 1 + 128
+        p1c, p1r = t0 // 128, t0 % 128
+        t0 = a_off - (planes["i1blk"] + r + 2)
+        s1c, s1r = t0 // 128, t0 % 128
         scal = planes["scal"]
         maxb = planes["maxb"][:, 0]
         linr, lins, steps, cts = prepass(ref8, seq8, sd8, p0)
@@ -85,8 +92,6 @@ def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
                              steps, linr, lins, cts)
         tb_bail, slots = tb(p1c, p1r, s1c, s1r, maxb, scal, linr, lins,
                             packed)
-        if packed16:
-            slots = slots[..., 0::2] | (slots[..., 1::2] << 16)
         return dp_bail, tb_bail, slots
 
     if mesh is not None:
@@ -101,7 +106,7 @@ def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
         run = shard_map(run, mesh=mesh, in_specs=in_specs,
                         out_specs=out_specs, check_vma=False)
 
-    return jax.jit(run), packed16
+    return jax.jit(run)
 
 
 def _r_pad_for(b_rows: int, max_b_rows: int) -> int:
@@ -317,7 +322,7 @@ class PallasEngine:
                         cfg.indel_extend, cfg.inf, max_n, cfg.max_l,
                         self.interpret, self.cont_cols, self.kmaxn,
                         mesh=self.mesh, sub_scores=self.sub_scores)
-        run, packed16 = self._composites[key]
+        run = self._composites[key]
         if (key, dev) not in self._warm:
             # serialize the first (compiling) execution of each
             # (shape, device) so concurrent submitters never duplicate a
@@ -329,15 +334,13 @@ class PallasEngine:
         else:
             dp_bail, tb_bail, slots = run(
                 put(pk8), put(idx32), sub_dev)
-        return (dp_bail, tb_bail, slots, mb, packed16)
+        return (dp_bail, tb_bail, slots, mb)
 
     def _fill_group_py(self, group: Sequence[Window], pk8: np.ndarray,
                        idx32: np.ndarray, r_pad: int) -> int:
         """numpy fallback of native.fill_group (and its equality oracle —
         tests/test_groupfill.py pins the two bit-identical)."""
         r = self.cfg.r
-        PADL = 128
-        A_OFF = r_pad + 128
         nblk = r_pad // BLK
         ntb = r_pad // TBLK
         planes = {}
@@ -345,11 +348,8 @@ class PallasEngine:
         for name, width in _idx_layout(nblk, ntb):
             planes[name] = idx32[:, :, o:o + width]
             o += width
-        p0blk = planes["p0blk"]
-        p0c, p0r, s0c, s0r = (planes[k] for k in
-                              ("p0c", "p0r", "s0c", "s0r"))
-        p1c, p1r, s1c, s1r = (planes[k] for k in
-                              ("p1c", "p1r", "s1c", "s1r"))
+        p0blk, i0blk = planes["p0blk"], planes["i0blk"]
+        p1blk, i1blk = planes["p1blk"], planes["i1blk"]
         scal = planes["scal"]
 
         blk_T0 = np.arange(nblk, dtype=np.int64) * BLK
@@ -374,44 +374,33 @@ class PallasEngine:
             last = R_w - 1
             T0s = np.minimum(blk_T0, last)
             p0blk[g, wl] = dels[T0s] - r - 7
-            idx = dels[T0s] - r - 7 + PADL
-            p0c[g, wl] = idx // LANES
-            p0r[g, wl] = idx % LANES
-            sidx = A_OFF - (inss[T0s] - r - 7 + 127)
-            s0c[g, wl] = sidx // LANES
-            s0r[g, wl] = sidx % LANES
-            idx = dels[np.minimum(tb_T0, last)] - r - 1 + PADL
-            p1c[g, wl] = idx // LANES
-            p1r[g, wl] = idx % LANES
-            sidx = A_OFF - (inss[np.minimum(tb_T1, last)] + r + 2)
-            s1c[g, wl] = sidx // LANES
-            s1r[g, wl] = sidx % LANES
+            i0blk[g, wl] = inss[T0s]
+            p1blk[g, wl] = dels[np.minimum(tb_T0, last)]
+            i1blk[g, wl] = inss[np.minimum(tb_T1, last)]
         return max_rows
 
     def _collect_group(self, group: Sequence[Window], handles):
         import jax
-        dp_bail, tb_bail, slots, maxb, packed16 = handles
+        dp_bail, tb_bail, slots, maxb = handles
         dp_bail, tb_bail, slots = jax.device_get((dp_bail, tb_bail, slots))
         dp_bail = dp_bail[:, :, 0]
         tb_bail = tb_bail[:, :, 0]
-        if packed16:
-            lo = slots & 0xFFFF
-            hi = (slots >> 16) & 0xFFFF
-            full = np.empty(slots.shape[:-1] + (slots.shape[-1] * 2,),
-                            np.int32)
-            full[..., 0::2] = lo
-            full[..., 1::2] = hi
-            slots = full
 
-        # decode all windows of the group in one vectorized pass: slot
-        # tiles beyond the processed rows are never written by the TB
-        # kernel, so truncate at maxb, then expand every (op|count<<2)
-        # slot with a single np.repeat and split by per-window char counts
+        # decode all windows of the group in one vectorized pass: slots
+        # are 4-bit packed (row t at tile t//1024, nibble (t//128)%8,
+        # lane t%128; long runs chunked across skipped rows — see
+        # ops/pallas_dp.get_tb_call), slot tiles beyond the processed
+        # rows are never written, so unpack nibbles, truncate at maxb,
+        # then expand every (op|count<<2) slot with a single np.repeat
+        # and split by per-window char counts (chunks of one run merge
+        # by concatenation)
         G = slots.shape[0]
+        shifts = (np.arange(8, dtype=np.int32) * 4)[None, :, None, None]
         cigs: List[str] = []
         for g in range(G):
+            nib = (slots[g][:, None, :, :] >> shifts) & 15
             vec = np.ascontiguousarray(
-                slots[g].transpose(1, 0, 2)).reshape(W, -1)[:, :maxb + 1]
+                nib.transpose(2, 0, 1, 3)).reshape(W, -1)[:, :maxb + 1]
             mask = vec != 0
             flat = vec[mask]
             counts = flat >> 2

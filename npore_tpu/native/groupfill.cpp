@@ -12,21 +12,12 @@
 // a third of the H2D bytes over the ~60 MB/s tunneled transfer path.
 //
 // idx32 per-window layout matches engine/pallas_engine._idx_layout:
-//   p0blk[nblk] p0c[nblk] p0r[nblk] s0c[nblk] s0r[nblk]
-//   p1c[ntb] p1r[ntb] s1c[ntb] s1r[ntb] scal[8] maxb[1]
-// (maxb is group-wide; the caller sets it from the returned max_rows.)
+//   p0blk[nblk] i0blk[nblk] p1blk[ntb] i1blk[ntb] scal[8] maxb[1]
+// Only these base planes ride the tunnel; the DMA tile/lane (div/mod
+// 128) planes are derived on device in _make_composite.run. (maxb is
+// group-wide; the caller sets it from the returned max_rows.)
 
 #include <cstdint>
-
-namespace {
-
-inline void floordiv128(int64_t v, int32_t* c, int32_t* r) {
-    int64_t q = v >> 7;          // arithmetic shift == floor division
-    *c = static_cast<int32_t>(q);
-    *r = static_cast<int32_t>(v - (q << 7));
-}
-
-}  // namespace
 
 extern "C" int32_t fill_group(
     int64_t n_win, int64_t r_pad, int32_t r,
@@ -37,8 +28,6 @@ extern "C" int32_t fill_group(
     const int32_t* scal5,        // (n_win, 5): b_rows n_ins n_del rg sg
     uint8_t* pk8,                // (B, r_pad), zeroed rows >= n_win
     int32_t* idx32) {            // (B, ni), zeroed rows >= n_win
-    const int64_t padl = 128;
-    const int64_t a_off = r_pad + 128;
     int32_t max_rows = 1;
 
     for (int64_t j = 0; j < n_win; ++j) {
@@ -64,34 +53,26 @@ extern "C" int32_t fill_group(
 
         int32_t* w = idx32 + j * ni;
         int32_t* p0blk = w;
-        int32_t* p0c = w + nblk;
-        int32_t* p0r = w + 2 * nblk;
-        int32_t* s0c = w + 3 * nblk;
-        int32_t* s0r = w + 4 * nblk;
-        int32_t* p1c = w + 5 * nblk;
-        int32_t* p1r = w + 5 * nblk + ntb;
-        int32_t* s1c = w + 5 * nblk + 2 * ntb;
-        int32_t* s1r = w + 5 * nblk + 3 * ntb;
-        int32_t* scal = w + 5 * nblk + 4 * ntb;
+        int32_t* i0blk = w + nblk;
+        int32_t* p1blk = w + 2 * nblk;
+        int32_t* i1blk = w + 2 * nblk + ntb;
+        int32_t* scal = w + 2 * nblk + 2 * ntb;
         for (int k = 0; k < 5; ++k) scal[k] = scal5[j * 5 + k];
 
         const int64_t last = b_rows - 1;
         for (int32_t b = 0; b < nblk; ++b) {
             int64_t t0 = static_cast<int64_t>(b) * blk;
             if (t0 > last) t0 = last;
-            const int64_t del = t0 - inss[t0];
-            p0blk[b] = static_cast<int32_t>(del - r - 7);
-            floordiv128(del - r - 7 + padl, &p0c[b], &p0r[b]);
-            floordiv128(a_off - (inss[t0] - r - 7 + 127), &s0c[b], &s0r[b]);
+            p0blk[b] = static_cast<int32_t>(t0 - inss[t0] - r - 7);
+            i0blk[b] = inss[t0];
         }
         for (int32_t b = 0; b < ntb; ++b) {
             int64_t t0 = static_cast<int64_t>(b) * tblk;
             int64_t t1 = t0 + tblk - 1;
             if (t0 > last) t0 = last;
             if (t1 > last) t1 = last;
-            const int64_t del = t0 - inss[t0];
-            floordiv128(del - r - 1 + padl, &p1c[b], &p1r[b]);
-            floordiv128(a_off - (inss[t1] + r + 2), &s1c[b], &s1r[b]);
+            p1blk[b] = static_cast<int32_t>(t0 - inss[t0]);
+            i1blk[b] = inss[t1];
         }
     }
     return max_rows;

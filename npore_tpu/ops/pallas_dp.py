@@ -678,7 +678,11 @@ def get_tb_call(R_pad: int, G: int, interpret: bool):
 
     assert R_pad % RQ == 0
     ntb = R_pad // TBLK
-    NT = R_pad // LANES
+    # 4-bit slot tiles: row t lives at tile t//1024, nibble (t//128)%8,
+    # lane t%128 — an 8x smaller D2H than one int32 per row (slots ride
+    # the ~20-27 MB/s device->host tunnel). Runs longer than 3 are
+    # chunked across the traceback rows the run skips (see row_step).
+    NT4 = (R_pad + 1023) // 1024
     I32 = jnp.int32
 
     def tb_kernel(p1c, p1r, s1c, s1r, maxb_s,
@@ -729,7 +733,11 @@ def get_tb_call(R_pad: int, G: int, interpret: bool):
                                   shift=(b * TBLK + TBLK - 2) % LANES, axis=1)
 
         def row_step(t, carry):
-            arow, acol, pend, done, bail = carry      # done/bail: i32 0/1
+            # erem/eop: pending 4-bit chunk emission of a long I/D run
+            # (runs > 3 spill onto the rows the run skips — the next
+            # active row is t - run, so rows t-1 .. t-run+1 are free and
+            # ceil(run/3) chunks always fit strictly above it)
+            arow, acol, pend, done, bail, erem, eop = carry
             active = (done == 0) & (arow + acol == t)
 
             # fused one-hot: ref[acol-1], seq base, and the packed MAT
@@ -756,9 +764,16 @@ def get_tb_call(R_pad: int, G: int, interpret: bool):
 
             cmp_op = jnp.where(sv == rv, OP_EQ, OP_X)
 
+            is_run = is_i | is_d
+            cur_op = jnp.where(is_run,
+                               jnp.where(is_i, OP_I, OP_D), eop)
+            cur_rem = jnp.where(is_run, run, erem)
+            emit_n = jnp.minimum(cur_rem, 3)
+            has = is_run | (erem > 0)
             slot = jnp.where(in_m, cmp_op + (1 << 2), 0)
-            slot = jnp.where(is_i, OP_I + (run << 2), slot)
-            slot = jnp.where(is_d, OP_D + (run << 2), slot)
+            slot = jnp.where(has, cur_op + (emit_n << 2), slot)
+            erem = jnp.where(has, cur_rem - emit_n, erem)
+            eop = cur_op
 
             arow = jnp.where(in_m, arow - 1,
                              jnp.where(is_i, arow - run, arow))
@@ -770,11 +785,12 @@ def get_tb_call(R_pad: int, G: int, interpret: bool):
             done = jnp.where(((arow <= 0) & (acol <= 0)) | (bail > 0),
                              1, done)
 
-            sl_b[:] = sl_b[:] | jnp.where((lane == (t % LANES)) & (slot != 0),
-                                          slot, 0)
+            sl_b[:] = sl_b[:] | jnp.where(
+                (lane == (t % LANES)) & (slot != 0),
+                slot << (4 * ((t // LANES) % 8)), 0)
 
             seq_b[:] = pltpu.roll(seq_b[:], shift=LANES - 1, axis=1)
-            return (arow, acol, pend, done, bail)
+            return (arow, acol, pend, done, bail, erem, eop)
 
         def blk_body(bb, carry):
             ntb_eff = maxb // TBLK + 1
@@ -786,17 +802,17 @@ def get_tb_call(R_pad: int, G: int, interpret: bool):
                 return row_step(T0 + TBLK - 1 - j, c)
             carry = jax.lax.fori_loop(0, TBLK, inner, carry)
 
-            @pl.when(b % 2 == 0)
+            @pl.when(b % 16 == 0)
             def _():
                 cp = pltpu.make_async_copy(
-                    sl_b, slots_o.at[g, T0 // LANES], sems.at[3])
+                    sl_b, slots_o.at[g, T0 // 1024], sems.at[3])
                 cp.start()
                 cp.wait()
                 sl_b[:] = zbuf[:]
             return carry
 
         zc0 = zbuf[:, 0:1]
-        init = (n_ins, n_del, zc0, zc0, zc0)
+        init = (n_ins, n_del, zc0, zc0, zc0, zc0, zc0)
         final = jax.lax.fori_loop(0, maxb // TBLK + 1, blk_body, init)
         bail_o[:, :] = jnp.broadcast_to(
             final[4] | (1 - final[3]), (W, 8))
@@ -827,7 +843,7 @@ def get_tb_call(R_pad: int, G: int, interpret: bool):
         ],
         out_shape=[
             __import__("jax").ShapeDtypeStruct((G, W, 8), np.int32),
-            __import__("jax").ShapeDtypeStruct((G, NT, W, LANES), np.int32),
+            __import__("jax").ShapeDtypeStruct((G, NT4, W, LANES), np.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((W, 1, 2, LANES), np.int32),

@@ -55,7 +55,7 @@ def main() -> int:
     handles = eng._submit_group(group, r_pad)
     jax.block_until_ready(handles[:3])
 
-    run, packed16 = eng._composites[r_pad]
+    run = eng._composites[r_pad]
     # rebuild the packed host arrays once more, keep them on device
     import npore_tpu.engine.pallas_engine as pe
     pk8, idx32 = _pack_like_submit(eng, group, r_pad)
@@ -339,6 +339,16 @@ def _split_stages(eng, pk8_d, idx32_d, sub_d, r_pad, reps):
     p0 = jnp.asarray(idx32[:, :, 0:nblk].reshape(-1, nblk))
     maxb = planes["maxb"][:, 0]
     scal = planes["scal"]
+    # derive the DMA tile/lane planes host-side (mirrors composite run())
+    a_off = r_pad + 128
+    t0 = planes["p0blk"] + 128
+    planes["p0c"], planes["p0r"] = t0 // 128, t0 % 128
+    t0 = a_off - (planes["i0blk"] - cfg.r - 7 + 127)
+    planes["s0c"], planes["s0r"] = t0 // 128, t0 % 128
+    t0 = planes["p1blk"] - cfg.r - 1 + 128
+    planes["p1c"], planes["p1r"] = t0 // 128, t0 % 128
+    t0 = a_off - (planes["i1blk"] + cfg.r + 2)
+    planes["s1c"], planes["s1r"] = t0 // 128, t0 % 128
 
     pp = jax.jit(prepass)
     dpj = jax.jit(dp)

@@ -50,6 +50,24 @@ def test_pallas_toys(engine, score_matrices):
     _check(engine, score_matrices, TOYS)
 
 
+def test_pallas_long_indel_runs(engine, score_matrices):
+    """I/D runs far beyond 3 pin the 4-bit slot run-chunking (the TB
+    kernel spills long runs across the traceback rows the run skips;
+    ops/pallas_dp.get_tb_call row_step)."""
+    rng = np.random.default_rng(5)
+    base = "".join("ACGT"[i] for i in rng.integers(0, 4, 300))
+    cases = []
+    for ln in (7, 40, 97, 150):
+        # long deletion: ref has an extra unique block
+        ins = "".join("ACGT"[i] for i in rng.integers(0, 4, ln))
+        cases.append((base[:120] + ins + base[120:], base,
+                      f"120={ln}D180="))
+        # long insertion: seq has the extra block
+        cases.append((base, base[:120] + ins + base[120:],
+                      f"120={ln}I180="))
+    _check(engine, score_matrices, cases)
+
+
 def test_pallas_random(engine, score_matrices):
     rng = np.random.default_rng(7)
     cases = []
