@@ -47,6 +47,7 @@ def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
     of the reference's reader/worker pool over reads (src/realign.py:110-114).
     """
     import jax
+    import jax.numpy as jnp
 
     from .prepass import make_prepass
     import os
@@ -59,15 +60,21 @@ def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
     nblk = r_pad // BLK
     ntb = r_pad // TBLK
 
-    # the host packs every small per-group plane into ONE int32 transfer
-    # (idx32) and ref | seq<<3 | step<<6 into ONE uint8 plane (pk8): two
-    # tunneled H2D per group (each put pays ~25ms latency), and the byte
-    # packing sends a third of the bytes of separate ref/seq/step planes
-    # over the ~60 MB/s tunnel
-    def run(pk8, idx32, sub):
+    # the host packs EVERYTHING into ONE int32 transfer per group (each
+    # tunneled call pays ~25ms latency): per window, r_pad/4 words of
+    # byte-packed ref | seq<<3 | step<<6 (little-endian bytes, unpacked
+    # with shifts on device) followed by the idx planes. Outputs are
+    # likewise concatenated so collection is ONE device_get.
+    pkw = r_pad // 4
+
+    def run(buf, sub):
+        pk_w = buf[:, :pkw]
+        bts = [(pk_w >> (8 * k)) & 255 for k in range(4)]
+        pk8 = jnp.stack(bts, axis=2).reshape(-1, r_pad)
+        idx32 = buf[:, pkw:].reshape(-1, W, buf.shape[1] - pkw)
         ref8 = pk8 & 7
         seq8 = (pk8 >> 3) & 7
-        sd8 = (pk8 >> 6).reshape(-1, W, pk8.shape[1])
+        sd8 = (pk8 >> 6).reshape(-1, W, r_pad)
         planes = {}
         o = 0
         for name, width in _idx_layout(nblk, ntb):
@@ -92,7 +99,11 @@ def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
                              steps, linr, lins, cts)
         tb_bail, slots = tb(p1c, p1r, s1c, s1r, maxb, scal, linr, lins,
                             packed)
-        return dp_bail, tb_bail, slots
+        # one D2H array: [dp_bail | tb_bail | slot tiles] per program
+        g_ = dp_bail.shape[0]
+        return jnp.concatenate(
+            [dp_bail.reshape(g_, -1), tb_bail.reshape(g_, -1),
+             slots.reshape(g_, -1)], axis=1)
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
@@ -101,8 +112,8 @@ def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
         def spec(a_ndim):
             return P(*(("data",) + (None,) * (a_ndim - 1)))
 
-        in_specs = (spec(2), spec(3), P(None, None))
-        out_specs = (spec(3), spec(3), spec(4))
+        in_specs = (spec(2), P(None, None))
+        out_specs = spec(2)
         run = shard_map(run, mesh=mesh, in_specs=in_specs,
                         out_specs=out_specs, check_vma=False)
 
@@ -300,11 +311,13 @@ class PallasEngine:
         nblk = r_pad // BLK
         ntb = r_pad // TBLK
 
-        # ONE uint8 pack (ref | seq<<3 | step<<6) and one int32 pack of all
-        # the small index/scalar planes: 2 tunneled H2D per group, not 15
-        pk8 = np.zeros((B, r_pad), np.uint8)
+        # ONE int32 H2D per group: per window r_pad/4 words of byte-packed
+        # ref | seq<<3 | step<<6 followed by the idx planes (the tunnel
+        # charges ~25ms latency per call — see _make_composite.run)
         layout = _idx_layout(nblk, ntb)
-        idx32 = np.zeros((G, W, sum(w_ for _, w_ in layout)), np.int32)
+        ni = sum(w_ for _, w_ in layout)
+        pk8 = np.zeros((B, r_pad), np.uint8)
+        idx32 = np.zeros((G, W, ni), np.int32)
         max_rows = fill_group_native(group, r_pad, r, BLK, TBLK, nblk, ntb,
                                      pk8, idx32.reshape(B, -1))
         if max_rows is None:            # no compiler: numpy fallback
@@ -312,6 +325,8 @@ class PallasEngine:
         mb = ((max_rows + MAXB_Q - 1) // MAXB_Q) * MAXB_Q - 1
         mb = min(mb, r_pad - 1)
         idx32[:, :, -1] = mb            # group-wide maxb plane
+        buf = np.concatenate(
+            [pk8.view(np.int32), idx32.reshape(B, ni)], axis=1)
 
         key = r_pad
         if key not in self._composites:
@@ -328,13 +343,11 @@ class PallasEngine:
             # (shape, device) so concurrent submitters never duplicate a
             # multi-minute compile
             with self._compile_lock:
-                dp_bail, tb_bail, slots = run(
-                    put(pk8), put(idx32), sub_dev)
+                out = run(put(buf), sub_dev)
                 self._warm.add((key, dev))
         else:
-            dp_bail, tb_bail, slots = run(
-                put(pk8), put(idx32), sub_dev)
-        return (dp_bail, tb_bail, slots, mb)
+            out = run(put(buf), sub_dev)
+        return (out, mb)
 
     def _fill_group_py(self, group: Sequence[Window], pk8: np.ndarray,
                        idx32: np.ndarray, r_pad: int) -> int:
@@ -381,10 +394,14 @@ class PallasEngine:
 
     def _collect_group(self, group: Sequence[Window], handles):
         import jax
-        dp_bail, tb_bail, slots, maxb = handles
-        dp_bail, tb_bail, slots = jax.device_get((dp_bail, tb_bail, slots))
-        dp_bail = dp_bail[:, :, 0]
-        tb_bail = tb_bail[:, :, 0]
+        out_h, maxb = handles
+        # ONE device_get: [dp_bail | tb_bail | slot tiles] per program
+        out = np.asarray(jax.device_get(out_h))
+        G = out.shape[0]
+        w8 = W * 8
+        dp_bail = out[:, :w8].reshape(G, W, 8)[:, :, 0]
+        tb_bail = out[:, w8:2 * w8].reshape(G, W, 8)[:, :, 0]
+        slots = out[:, 2 * w8:].reshape(G, -1, W, LANES)
 
         # decode all windows of the group in one vectorized pass: slots
         # are 4-bit packed (row t at tile t//1024, nibble (t//128)%8,
@@ -394,7 +411,6 @@ class PallasEngine:
         # then expand every (op|count<<2) slot with a single np.repeat
         # and split by per-window char counts (chunks of one run merge
         # by concatenation)
-        G = slots.shape[0]
         shifts = (np.arange(8, dtype=np.int32) * 4)[None, :, None, None]
         cigs: List[str] = []
         for g in range(G):

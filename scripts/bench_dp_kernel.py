@@ -53,13 +53,14 @@ def main() -> int:
     # one real submit to compile + pack; then re-run the composite on the
     # same device-resident inputs
     handles = eng._submit_group(group, r_pad)
-    jax.block_until_ready(handles[:3])
+    jax.block_until_ready(handles[:1])
 
     run = eng._composites[r_pad]
     # rebuild the packed host arrays once more, keep them on device
     import npore_tpu.engine.pallas_engine as pe
-    pk8, idx32 = _pack_like_submit(eng, group, r_pad)
+    buf, pk8, idx32 = _pack_like_submit(eng, group, r_pad)
     dev = eng.devices[0]
+    buf_d = jax.device_put(buf, dev)
     pk8_d = jax.device_put(pk8, dev)
     idx32_d = jax.device_put(idx32, dev)
     sub_d = jax.device_put(eng._sub, dev)
@@ -67,19 +68,19 @@ def main() -> int:
     # block_until_ready does NOT synchronize on the tunneled axon backend;
     # a (small) device_get is the only true sync. Its ~25 ms latency is a
     # constant additive term: report both raw and latency-corrected times.
-    outs = run(pk8_d, idx32_d, sub_d)
-    _ = jax.device_get(outs[0])
+    outs = run(buf_d, sub_d)
+    _ = jax.device_get(outs[:1, :1])
     # estimate the fetch-only latency on an already-computed buffer
     lat = float("inf")
     for _ in range(5):
         t0 = time.perf_counter()
-        jax.device_get(outs[0])
+        jax.device_get(outs[:1, :1])
         lat = min(lat, time.perf_counter() - t0)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        o = run(pk8_d, idx32_d, sub_d)
-        jax.device_get(o[0])
+        o = run(buf_d, sub_d)
+        jax.device_get(o[:1, :1])
         best = min(best, time.perf_counter() - t0)
     nwin = len(group)
     net = best - lat
@@ -399,9 +400,17 @@ def _pack_like_submit(eng, group, r_pad):
     finally:
         jax.device_put = orig_put
     arrays = [a for a in captured["arrays"]]
-    pk8 = next(a for a in arrays if a.dtype == np.uint8)
-    idx32 = next(a for a in arrays if a.dtype == np.int32 and a.ndim == 3)
-    return pk8, idx32
+    buf = next(a for a in arrays if a.dtype == np.int32 and a.ndim == 2
+               and a.shape[1] > 64)
+    pkw = r_pad // 4
+    pk8 = np.ascontiguousarray(buf[:, :pkw]).view(np.uint8).reshape(
+        buf.shape[0], r_pad)
+    from npore_tpu.engine.pallas_engine import W as W_
+    from npore_tpu.engine.pallas_engine import _idx_layout
+    from npore_tpu.ops.pallas_dp import BLK as BLK_, TBLK as TBLK_
+    ni = sum(w for _, w in _idx_layout(r_pad // BLK_, r_pad // TBLK_))
+    idx32 = np.ascontiguousarray(buf[:, pkw:]).reshape(-1, W_, ni)
+    return buf, pk8, idx32
 
 
 if __name__ == "__main__":
