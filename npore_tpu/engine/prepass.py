@@ -43,7 +43,7 @@ def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
     kernel selects the substitution penalty with a 5-way select on the
     seq base instead of a 25-way select on (seq, ref) pairs.
     stop_after: benchmarking hook (scripts/bench_dp_kernel.py --ppcum);
-    one of "tables"/"gather"/"matmul"/"relayout" truncates the traced
+    one of "npinfo"/"tables"/"gather"/"matmul"/"relayout" truncates the traced
     graph after that stage so cumulative in-fusion stage costs can be
     timed. Production passes None."""
     import jax
@@ -67,12 +67,19 @@ def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
         ref = ref8.astype(jnp.int32)
         seq = seq8.astype(jnp.int32)
 
-        def side(x):
-            L, LZ = np_info_device(x, max_n, max_l)
+        # one np_info pass over ref+seq stacked on the batch axis: the
+        # scanner is row-independent, so both sides share every scan
+        # chain instead of compiling/running two copies
+        Lb, LZb = np_info_device(
+            jnp.concatenate([ref, seq], axis=0), max_n, max_l)
+        if stop_after == "npinfo":
+            return Lb, LZb
+
+        def side(x, L, LZ):
             return jnp.concatenate(
                 [x[:, None, :], jnp.minimum(L, 127), LZ], axis=1)
 
-        pr = side(ref)
+        pr = side(ref, Lb[:B], LZb[:B])
         # seq side: the DP advances its seq binding by one lane per row
         # (arow = t - acol), and a scratch-plane roll costs ~180ns/plane/
         # row on this backend (HW ablation: 13-plane advance = ~29% of the
@@ -80,7 +87,7 @@ def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
         # so the per-row advance is 2 rolls; readers unpack by shift+mask:
         #   plane0: base(3b) | L1<<3 | L2<<10 | L3<<17 | L4<<24
         #   plane1: L5 | L6<<7 | LZ1<<14 | .. | LZ6<<19
-        psl = side(seq)
+        psl = side(seq, Lb[B:], LZb[B:])
         pA = psl[:, 0, :]
         for ni in range(min(4, max_n)):
             pA = pA | (psl[:, 1 + ni, :] << (3 + 7 * ni))

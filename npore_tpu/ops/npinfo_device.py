@@ -24,17 +24,25 @@ from __future__ import annotations
 import numpy as np
 
 
-def _segscan(vals, keep, combine, axis):
-    """Segmented scan: carry resets where keep is False."""
+def _segscan2(vmin, vmax, keep, axis):
+    """Fused segmented min+max scan sharing one reset mask.
+
+    One associative_scan carrying (min, max, keep) replaces two
+    independent (val, keep) scans: ~25% less carried traffic and half
+    the scan-kernel chains (the two scans always share `keep` here).
+    """
     import jax
     import jax.numpy as jnp
 
     def op(a, b):
-        av, ak = a
-        bv, bk = b
-        return jnp.where(bk, combine(av, bv), bv), ak & bk
-    out, _ = jax.lax.associative_scan(op, (vals, keep), axis=axis)
-    return out
+        af, al, ak = a
+        bf, bl, bk = b
+        return (jnp.where(bk, jnp.minimum(af, bf), bf),
+                jnp.where(bk, jnp.maximum(al, bl), bl),
+                ak & bk)
+    omin, omax, _ = jax.lax.associative_scan(
+        op, (vmin, vmax, keep), axis=axis)
+    return omin, omax
 
 
 def np_info_device(seq, max_n: int = 6, max_l: int = 100):
@@ -43,6 +51,7 @@ def np_info_device(seq, max_n: int = 6, max_l: int = 100):
     Positions past each window's real length must be 0-padded by the
     caller; padding yields L=0 / LZ=1 exactly like the host packers.
     """
+    import jax
     import jax.numpy as jnp
 
     B, P = seq.shape
@@ -50,16 +59,24 @@ def np_info_device(seq, max_n: int = 6, max_l: int = 100):
     BIG = jnp.int32(np.int32(2 ** 30))
     M = jnp.int32(P + 1)          # raw < M encoding multiplier
 
+    # suffix run scans for ALL periods in ONE reverse cummin: each
+    # (b, n) row is independent, so stacking turns max_n separate
+    # flip+cummin+flip chains into a single scan over a (B, max_n, P)
+    # block (fewer kernel chains, no rev passes)
+    m_all = jnp.stack(
+        [jnp.concatenate(
+            [seq[:, :-n] == seq[:, n:], jnp.zeros((B, n), bool)], axis=1)
+         for n in range(1, max_n + 1)], axis=1)       # (B, max_n, P)
+    nf_all = jax.lax.cummin(
+        jnp.where(m_all, jnp.int32(P), pos[:, None, :]),
+        axis=2, reverse=True)
+    t_all = jnp.maximum(nf_all - pos[:, None, :], 0)  # (B, max_n, P)
+
     Ls = []
     LZs = []
     stored = []                   # clamped L planes of finished layers
     for n in range(1, max_n + 1):
-        m = jnp.concatenate(
-            [seq[:, :-n] == seq[:, n:], jnp.zeros((B, n), bool)], axis=1)
-        # t[s] = run length of m starting at s (suffix scan)
-        nf = jnp.where(m, P, pos)
-        nf = jnp.flip(jnp.minimum.accumulate(jnp.flip(nf, 1), axis=1), 1)
-        t = jnp.maximum(nf - pos, 0)
+        t = t_all[:, n - 1]
         units = t // n
         raw = jnp.where(units > 0, units + 1, 0)
         qual = (raw > 2) & (seq != 0)
@@ -83,12 +100,13 @@ def np_info_device(seq, max_n: int = 6, max_l: int = 100):
             return jnp.swapaxes(x, 1, 2).reshape(B, -1)[:, :P]
 
         enc_first = jnp.where(qual, pos * M + raw, BIG)
-        first = declass(_segscan(classes(enc_first, BIG),
-                                 classes(link, False), jnp.minimum, axis=2))
         big_run = qual & (raw > max_l)
         enc_last = jnp.where(big_run, pos * M + raw, -1)
-        last = declass(_segscan(classes(enc_last, jnp.int32(-1)),
-                                classes(link, False), jnp.maximum, axis=2))
+        first, last = _segscan2(
+            classes(enc_first, BIG), classes(enc_last, jnp.int32(-1)),
+            classes(link, False), axis=2)
+        first = declass(first)
+        last = declass(last)
 
         has_first = first < BIG
         has_big = last >= 0

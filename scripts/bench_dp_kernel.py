@@ -142,8 +142,9 @@ def _pp_cum(eng, pk8_d, idx32_d, r_pad, reps):
                             sub_scores=eng.sub_scores, stop_after=stop)
 
     floor = timeit(jax.jit(
-        lambda a, b, c, d: jnp.sum(a[:1, :8].astype(jnp.int32))))
-    stages = ["tables", "gather", "matmul", "relayout", None]
+        lambda a, b, c, d: jnp.sum(a[:1, :8].astype(jnp.int32),
+                                   keepdims=True)))
+    stages = ["npinfo", "tables", "gather", "matmul", "relayout", None]
     prev, out = floor, []
     for s in stages:
         t = timeit(make(s))
