@@ -77,7 +77,7 @@ run_one() {
       --write-counts \
       --engine vcfeval \
       "${extra[@]}" \
-      -o "$outdir/${cname}-${bname}-${tname}-${ename}"
+      -o "$outdir/${cname}-${bname}-${tname}-${ename}" || return 1
   gunzip -f "$outdir/${cname}-${bname}-${tname}-${ename}".*.gz || true
 }
 export -f run_one
@@ -102,7 +102,9 @@ sweep() {
 }
 
 if command -v parallel >/dev/null 2>&1; then
-  sweep | parallel --joblog "$outdir/happy.log" -j "$jobs"
+  sweep | parallel --halt now,fail=1 --joblog "$outdir/happy.log" -j "$jobs"
 else
-  sweep | xargs -P "$jobs" -I{} bash -c '{}'
+  # -d '\n': keep xargs from eating the %q quoting; bash -e so a failed
+  # hap.py run fails the sweep (pipefail propagates xargs' 123)
+  sweep | xargs -P "$jobs" -d '\n' -I{} bash -ec '{}'
 fi

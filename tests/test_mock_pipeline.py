@@ -152,3 +152,83 @@ def test_realign_pipeline_full_iteration(data_dir, tmp_path):
     # std_ref(1) produced a merged standardized VCF with records
     std = list(VcfReader(os.path.join(wd, "ref/1_std.vcf.gz")))
     assert len(std) >= 2
+
+
+def test_happy_sh_executes(data_dir, tmp_path):
+    """happy.sh full call x truth x stratum sweep EXECUTES via the hap.py
+    mock (reference sweep: scripts/happy.sh:85-100), and its outputs feed
+    scripts/plot_results.py end to end."""
+    import subprocess
+    from npore_tpu.io.vcf import VcfRecord, make_header, write_vcf
+
+    wd = str(tmp_path)
+    ref = os.path.join(data_dir, "ref.fasta")
+    hdr = make_header([("ref", 1000)])
+
+    def v(pos, ra, aa, qual):
+        return VcfRecord(contig="ref", pos=pos, id=".", alleles=(ra, aa),
+                         qual=qual, filter="PASS", info=".", fmt="GT",
+                         sample="1/1")
+
+    truth = [v(100, "A", "C", 50), v(220, "G", "T", 50),
+             v(340, "C", "A", 50), v(700, "T", "G", 50),
+             v(450, "A", "AT", 50), v(810, "GA", "G", 50)]
+    # call1: misses the SNP at 700, adds a false SNP at 900 (low qual)
+    call1 = [t for t in truth if t.pos != 700] + [v(900, "C", "G", 5)]
+    # call2: perfect
+    write_vcf(os.path.join(wd, "truth.vcf.gz"), hdr, truth)
+    write_vcf(os.path.join(wd, "call1.vcf.gz"), hdr, sorted(
+        call1, key=lambda r: r.pos))
+    write_vcf(os.path.join(wd, "call2.vcf.gz"), hdr, truth)
+
+    # stratum BEDs as the bed CLI names them: {prefix}_{n}.bed
+    bedpre = os.path.join(wd, "np")
+    with open(bedpre + "_1.bed", "w") as fh:
+        fh.write("ref\t0\t500\n")           # first half only
+    with open(bedpre + "_all.bed", "w") as fh:
+        fh.write("ref\t0\t1000\n")
+
+    outdir = os.path.join(wd, "happy")
+    r = subprocess.run(
+        ["bash", os.path.join(REPO, "scripts/happy.sh"), ref, bedpre,
+         outdir, "--calls", "c1=" + os.path.join(wd, "call1.vcf.gz"),
+         "c2=" + os.path.join(wd, "call2.vcf.gz"),
+         "--truths", "tr=" + os.path.join(wd, "truth.vcf.gz"),
+         "--jobs", "2"],
+        env=_env(), cwd=REPO, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+
+    # full sweep: 2 calls x 1 truth x 2 strata, gunzipped ROC csvs
+    prefixes = [os.path.join(outdir, f"{c}-np_{b}-tr-evalall")
+                for c in ("c1", "c2") for b in ("1", "all")]
+    for p in prefixes:
+        assert os.path.exists(p + ".summary.csv"), p
+        for t in ("SNP", "INDEL"):
+            assert os.path.exists(p + f".roc.Locations.{t}.PASS.csv"), p
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import plot_results
+
+    # hand-checked P/R: c1 over np_all -> SNPs 3 TP, 1 FP, 1 FN
+    s = plot_results.read_summary(os.path.join(
+        outdir, "c1-np_all-tr-evalall"))
+    assert s["SNP"] == (0.75, 0.75)
+    assert s["INDEL"] == (1.0, 1.0)
+    # c2 is perfect everywhere
+    s2 = plot_results.read_summary(os.path.join(
+        outdir, "c2-np_all-tr-evalall"))
+    assert s2["SNP"] == (1.0, 1.0) and s2["INDEL"] == (1.0, 1.0)
+    # np_1 stratum restricts to pos<500: truth has 3 SNPs there
+    s3 = plot_results.read_summary(os.path.join(
+        outdir, "c1-np_1-tr-evalall"))
+    assert s3["SNP"] == (1.0, 1.0)
+    # ROC sweep has a point per distinct QUAL, recall/precision parse
+    pts = plot_results.read_roc_points(
+        os.path.join(outdir, "c1-np_all-tr-evalall"), "SNP")
+    assert len(pts) == 2 and (0.75, 0.75) in pts
+
+    # outputs feed the P/R plotter end to end
+    png = os.path.join(wd, "pr.png")
+    rc = plot_results.main(plot_results.argparser().parse_args(
+        [png] + prefixes))
+    assert rc == 0 and os.path.getsize(png) > 0
