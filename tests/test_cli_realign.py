@@ -6,6 +6,8 @@ the reference's imap_unordered appends in completion order and its golden
 was coordinate-sorted downstream (SURVEY.md §2.4 note)."""
 import os
 
+import pytest
+
 from npore_tpu.cli.realign import main
 
 
@@ -18,12 +20,18 @@ def _parse(path):
     return headers, records
 
 
-def test_cli_realign_all_field_parity(tmp_path, data_dir, stats_dir):
+# both engines run the FULL CLI path: "golden" is the C++/numpy spec
+# engine; "pallas" is the production device engine (interpret-mode Mosaic
+# hermetically, g_call=1) — closing the engine/config split that shipped
+# the round-1 k_c==1 bug (VERDICT r3 weak #6).
+@pytest.mark.parametrize("engine", ["golden", "pallas"])
+def test_cli_realign_all_field_parity(tmp_path, data_dir, stats_dir,
+                                      engine):
     pre = str(tmp_path / "out")
     rc = main(["--bam", os.path.join(data_dir, "reads.bam"),
                "--ref", os.path.join(data_dir, "ref.fasta"),
                "--out_prefix", pre, "--stats_dir", stats_dir,
-               "--engine", "golden"])
+               "--engine", engine])
     assert rc == 0
 
     got_h, got_r = _parse(pre + ".sam")
