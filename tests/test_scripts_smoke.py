@@ -31,3 +31,18 @@ def test_arg_check_fails_fast(name):
     assert out.returncode != 0
     # set -u parameter messages name the missing argument
     assert out.stderr.strip(), name
+
+
+def test_dockerfile_copy_sources_exist():
+    """Dockerfile sanity (docker itself is absent from this image): every
+    COPY source exists and the base/deps are pinned, so `docker build`
+    has what it needs (reference container story: /root/reference/Dockerfile)."""
+    repo = os.path.dirname(SCRIPTS)
+    lines = open(os.path.join(repo, "Dockerfile")).read().splitlines()
+    assert any(l.startswith("FROM ") and ":" in l for l in lines)
+    assert any("jax==" in l for l in lines if l.strip().startswith("RUN pip"))
+    for l in lines:
+        if l.startswith("COPY "):
+            srcs = l.split()[1:-1]
+            for s in srcs:
+                assert os.path.exists(os.path.join(repo, s)), l
