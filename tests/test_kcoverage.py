@@ -132,6 +132,8 @@ def test_production_kmaxn_hermetic(score_matrices):
     assert shallow.bail_count > 0
 
 
+@pytest.mark.slow   # 169s interpret-mode; the UNROLL knob is an
+# experiment path (UNROLL=1 is production — HW sweep, PERF.md)
 def test_unroll6_bit_exact(score_matrices, monkeypatch):
     """NPORE_DP_UNROLL=6 (the SSA-rename row unroll) must stay bit-exact
     on deep-repeat cases through the same two-tier ladder."""

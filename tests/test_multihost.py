@@ -14,6 +14,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -33,6 +35,8 @@ def test_two_host_realign_matches_single_host():
     assert two["scaling_efficiency"] > 0
 
 
+@pytest.mark.slow   # 75s; the golden-engine 2-host case above is the
+# fast representative of the multi-host path
 def test_two_host_realign_pallas_engine():
     """The production Pallas engine (interpret off-TPU) under real
     jax.distributed 2-host sharding: merged records must equal its own
