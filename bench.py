@@ -230,7 +230,11 @@ def main() -> None:
         "unit": "reads/s",
         "vs_baseline": round(best / base, 2),
     }
-    if os.environ.get("NPORE_BENCH_MIXED", "0") != "0":
+    # mixed-bucket detail is ON by default so the driver artifact records
+    # the bucket-ladder / mixed-length grouping behavior (VERDICT r3 #3);
+    # NPORE_BENCH_MIXED=0 skips it for quick checks. Replica count is
+    # capped (default 16) to keep the added runtime ~1 min warm.
+    if os.environ.get("NPORE_BENCH_MIXED", "1") != "0":
         result["mixed"] = run_mixed(rl, sub_scores, np_scores, cfg)
     print(json.dumps(result))
 

@@ -94,9 +94,9 @@ def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
         s1c, s1r = t0 // 128, t0 % 128
         scal = planes["scal"]
         maxb = planes["maxb"][:, 0]
-        linr, lins, steps, cts = prepass(ref8, seq8, sd8, p0)
+        linr, cts, lins, steps = prepass(ref8, seq8, sd8, p0)
         dp_bail, packed = dp(p0c, p0r, s0c, s0r, maxb, sub, scal,
-                             steps, linr, lins, cts)
+                             steps, linr, cts, lins)
         tb_bail, slots = tb(p1c, p1r, s1c, s1r, maxb, scal, linr, lins,
                             packed)
         # one D2H array: [dp_bail | tb_bail | slot tiles] per program
@@ -347,6 +347,14 @@ class PallasEngine:
                 self._warm.add((key, dev))
         else:
             out = run(put(buf), sub_dev)
+        # queue the D2H at submit time: the packed result (~280KB/group)
+        # rides the ~20-27MB/s tunnel while LATER groups compute, instead
+        # of being paid synchronously inside _collect_group's device_get
+        # (round-3 NPORE_TIMING: collect-wait was the largest host stage)
+        try:
+            out.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
         return (out, mb)
 
     def _fill_group_py(self, group: Sequence[Window], pk8: np.ndarray,

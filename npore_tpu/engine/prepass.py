@@ -43,9 +43,9 @@ def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
     kernel selects the substitution penalty with a 5-way select on the
     seq base instead of a 25-way select on (seq, ref) pairs.
     stop_after: benchmarking hook (scripts/bench_dp_kernel.py --ppcum);
-    one of "npinfo"/"tables"/"gather"/"matmul"/"relayout" truncates the traced
-    graph after that stage so cumulative in-fusion stage costs can be
-    timed. Production passes None."""
+    one of "npinfo"/"tables"/"matmul" truncates the traced graph after
+    that stage so cumulative in-fusion stage costs can be timed.
+    Production passes None."""
     import jax
     import jax.numpy as jnp
     from ..ops.npinfo_device import np_info_device
@@ -121,36 +121,19 @@ def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
         if stop_after == "tables":
             return linr, lins
 
-        # ---- score tiles: lookup by l per (side, n), full-k columns ----
-        # Gather order matters: first pull the (small) per-position l
-        # planes into the per-block lane-aligned layout, then index the
-        # tiny (101, K+2) tables. The reverse order (tables first) would
-        # materialize a (B, P2, QF) intermediate and run the big gather
-        # along a QF-wide axis — ~6x slower on the measured prepass.
-        # Per-block lane-aligned layout WITHOUT a per-position gather
-        # (measured 21.8 ms/group as take_along_axis over position): lane
-        # j of block b is p(b, j) = p0 + ((j - p0) mod 128), which in
-        # 128-lane tiles is exactly tile[c0][j] if j >= r0 else
-        # tile[c0+1][j] with (c0, r0) = divmod(PADL + p0, 128) — a
-        # 2-indices-per-block tile gather plus a lane select (the same
-        # aligned-2-tile trick the DP kernel's DMA path uses).
-        c0 = (PADL + p0) // LANES                         # (B, nblk)
-        r0 = (PADL + p0) % LANES
-        lint = linr_lin[:, 0:1 + max_n, :].reshape(
-            B, 1 + max_n, P2 // LANES, LANES)
-        tidx = jnp.stack([c0, c0 + 1], axis=2).reshape(B, 1, nblk * 2, 1)
-        two = jnp.take_along_axis(
-            lint, tidx, axis=2).reshape(B, 1 + max_n, nblk, 2, LANES)
-        lane_i = jnp.arange(LANES, dtype=jnp.int32)
-        lsel = lane_i[None, None, :] >= r0[:, :, None]    # (B, nblk, 128)
-        blk_pl = jnp.where(lsel[:, None, :, :],
-                           two[:, :, :, 0, :], two[:, :, :, 1, :])
-        blk_pl = blk_pl.reshape(B, 1 + max_n, nblk * LANES)
-        if stop_after == "gather":
-            return linr, lins, blk_pl
-        l_blk = blk_pl[:, 1:1 + max_n, :]                 # (B, max_n, nbl*128)
-        # table lookup as a one-hot MXU matmul: rows of the one-hot are
-        # exact unit vectors, so (with HIGHEST precision) the product
+        # ---- score planes: lookup by l per (side, n), full-k columns ----
+        # The lookup runs on the LINEAR position axis (P2 per window), not
+        # the per-block lane layout (nblk*128 = 2.67x the positions): the
+        # DP kernel aligns score planes to each block with the same 2-tile
+        # DMA + lane select it already uses for the lin planes, so the old
+        # block gather and plane-major relayout transpose are gone
+        # entirely (r4 ppcum on HW: gather 1.68 + matmul 15.14 + relayout
+        # 6.77 ms of a 28.2 ms in-composite prepass).
+        #
+        # Lookup itself is a one-hot MXU matmul emitted PLANE-MAJOR: a
+        # batched dot with the (broadcast) transposed table as LHS yields
+        # (B, C, P2) directly — no output transpose. Rows of the one-hot
+        # are exact unit vectors, so (with HIGHEST precision) the product
         # selects table rows bit-exactly — ~10x the throughput of an XLA
         # gather on this backend. Both sides of a period share one matmul
         # (ct_layout is pair-major).
@@ -160,42 +143,36 @@ def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
             tab2 = jnp.asarray(np.concatenate(
                 [np.asarray(cont_cols[0][ni]), np.asarray(cont_cols[1][ni])],
                 axis=1))                                   # (101, 2K+4)
-            oh = (l_blk[:, ni, :, None] == iota_l).astype(jnp.float32)
+            ohT = (linr_lin[:, 1 + ni, None, :] == iota_l[None, :, None]
+                   ).astype(jnp.float32)                   # (B, 101, P2)
+            tabb = jnp.broadcast_to(tab2.T[None], (B,) + tab2.T.shape)
             parts.append(jax.lax.dot_general(
-                oh, tab2, (((2,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST))      # (B, npos, 2K+4)
-        QT = QF
+                tabb, ohT, (((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST))      # (B, 2K+4, P2)
         if sub_scores is not None:
-            # sub planes: plane s holds sub_scores[s, ref[pos]] in the same
-            # lane-aligned layout (exact via the same one-hot matmul)
-            r_blk = blk_pl[:, 0, :]                        # (B, nbl*128)
-            oh_r = (r_blk[:, :, None] == jnp.arange(5, dtype=jnp.int32)
-                    ).astype(jnp.float32)
-            subT = jnp.asarray(np.ascontiguousarray(
-                np.asarray(sub_scores, np.float32).T))      # [r, s]
+            # sub planes: plane s holds sub_scores[s, ref[pos]], same
+            # linear layout (exact via the same one-hot matmul)
+            ohr = (linr_lin[:, 0, None, :]
+                   == jnp.arange(5, dtype=jnp.int32)[None, :, None]
+                   ).astype(jnp.float32)                   # (B, 5r, P2)
+            subb = jnp.broadcast_to(jnp.asarray(
+                np.asarray(sub_scores, np.float32))[None], (B, 5, 5))
             parts.append(jax.lax.dot_general(
-                oh_r, subT, (((2,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST))       # (B, npos, 5)
-            QT = QF + 5
-        g = jnp.concatenate(parts, axis=2)                # (B, nbl*128, QT)
+                subb, ohr, (((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST))      # (B, 5s, P2)
+        g = jnp.concatenate(parts, axis=1)                # (B, QT, P2)
+        cts = g.reshape(B, g.shape[1], P2 // LANES, LANES)
         if stop_after == "matmul":
-            return linr, lins, g
-        # plane-major layout (G, nblk, QT, W, 128): the DP kernel reads
-        # ct[plane] as a contiguous (W, 128) tile (a sublane-strided
-        # (W, QT, 128) slice per read costs W strided micro-accesses) and
-        # loads each block's tiles for ALL windows with ONE DMA
-        cts = g.reshape(G, W, nblk, LANES, QT).transpose(0, 2, 4, 1, 3)
-        if stop_after == "relayout":
             return linr, lins, cts
 
-        # per-block steps tiles are CONTIGUOUS slices (blk*BLK + lane),
-        # so a static stack replaces the jnp.take (measured 14.3 ms as a
-        # gather — XLA gathers on this backend cost per-index)
-        sd = jnp.concatenate(
+        # steps stay POSITION-LINEAR: the old per-block tile stack was
+        # overlapping slices (stride BLK=48, length 128 — a 2.67x
+        # expansion copy, +2.97 ms in-composite); the DP kernel instead
+        # does one aligned 2-tile DMA per block + a dynamic roll
+        steps = jnp.concatenate(
             [sd8.astype(jnp.int32),
-             jnp.zeros((G, W, 128), jnp.int32)], axis=2)
-        steps = jnp.stack([sd[:, :, b * BLK:b * BLK + LANES]
-                           for b in range(nblk)], axis=1)  # (G, nblk, W, 128)
-        return linr, lins, steps, cts
+             jnp.zeros((G, W, 256), jnp.int32)],
+            axis=2).reshape(G, W, (r_pad + 256) // LANES, LANES)
+        return linr, cts, lins, steps
 
     return jax.jit(prepass)

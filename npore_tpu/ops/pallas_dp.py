@@ -180,11 +180,20 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
         s = s % LANES
         return v if s == 0 else pltpu.roll(v, shift=s, axis=1)
 
+    # the score-plane 2-tile staging buffer is chunked: a full-width
+    # (QT, W, 2, 128) staging is ~13MB at production KMAXN and blows the
+    # 16MB scoped-VMEM limit together with ct_b (same DMA bytes/strides,
+    # +NCH-1 issues per window)
+    NCH = 1
+    while ((QT + NCH - 1) // NCH) * W * 2 * LANES * 4 > (4 << 20):
+        NCH += 1
+    CH = (QT + NCH - 1) // NCH
+
     def dp_kernel(p0c, p0r, s0c, s0r, maxb_s, sub_s,
-                  scal_v, steps, linr, lins, cts,
+                  scal_v, steps, linr, cts, lins,
                   bail_o, packed_o,
-                  lin2_b, seq2_b, lin_b, seq_b, ct, steps_b, packed_b, zbuf,
-                  sems):
+                  lin2_b, ct2_b, seq2_b, lin_b, ct_b, seq_b, steps2_b,
+                  packed_b, zbuf, sems):
         g = pl.program_id(0)
         lane = jax.lax.broadcasted_iota(I32, (W, LANES), 1)
         b_rows = scal_v[:, 0:1]
@@ -203,6 +212,11 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
             # Scratch layouts are plane-major (planes, W, 128) so every
             # per-row read is a contiguous (W, 128) tile; the DMA engine
             # absorbs the strided per-window writes here, off the VPU.
+            # The ref-side table is FUSED (lin planes + bitcast f32 score
+            # planes, engine/prepass.py): one per-window DMA serves both,
+            # replacing the old per-block score-tile DMA from a prepass-
+            # side block expansion + relayout transpose (r4 ppcum: those
+            # stages were 8.5 ms of the 28 ms in-composite prepass).
             dmas = []
             for w in range(W):
                 d1 = pltpu.make_async_copy(
@@ -214,16 +228,19 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                 d1.start()
                 d2.start()
                 dmas.append((d1, d2))
-            d3 = pltpu.make_async_copy(steps.at[g, b], steps_b, sems.at[2])
+            # steps are position-linear: rows [T0, T0+128) live in tiles
+            # (sc, sc+1) at dynamic lane offset off = T0 % 128; aligned
+            # 2-tile DMA + select + ONE dynamic roll per block replaces
+            # the prepass-side 2.67x overlapping-slice expansion
+            sc = (b * BLK) // LANES
+            off = (b * BLK) % LANES
+            d3 = pltpu.make_async_copy(
+                steps.at[g, :, pl.ds(sc, 2), :], steps2_b, sems.at[2])
             d3.start()
-            # one DMA per block for every window's score tiles
-            d4 = pltpu.make_async_copy(cts.at[g, b], ct, sems.at[3])
-            d4.start()
             for d1, d2 in dmas:
                 d1.wait()
                 d2.wait()
             d3.wait()
-            d4.wait()
             for w in range(W):
                 lin_b[:, w, :] = jnp.where(
                     lane1 >= p0r[w, b],
@@ -231,11 +248,32 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                 seq_b[:, w, :] = jnp.where(
                     lane1 >= s0r[w, b],
                     seq2_b[:, w, 0, :], seq2_b[:, w, 1, :])
+            for c in range(NCH):
+                lo = c * CH
+                n_pl = min(QT, lo + CH) - lo
+                d4s = []
+                for w in range(W):
+                    d4 = pltpu.make_async_copy(
+                        cts.at[g * W + w, pl.ds(lo, n_pl),
+                               pl.ds(p0c[w, b], 2), :],
+                        ct2_b.at[pl.ds(0, n_pl), w], sems.at[3])
+                    d4.start()
+                    d4s.append(d4)
+                for d4 in d4s:
+                    d4.wait()
+                for w in range(W):
+                    ct_b[pl.ds(lo, n_pl), w, :] = jnp.where(
+                        lane1 >= p0r[w, b],
+                        ct2_b[pl.ds(0, n_pl), w, 0, :],
+                        ct2_b[pl.ds(0, n_pl), w, 1, :])
             # seq planes: re-bind from (-a mod 128) to (T0 - a mod 128)
             seq_b[:] = pltpu.roll(seq_b[:], shift=(b * BLK) % LANES, axis=2)
 
         def qs(side, ni):
             return OFFS[side][ni]
+
+        def CT(q):
+            return ct_b[q]
 
         def row_step(t, i, carry, n_hi=max_n):
             # LEN/SHR carry only (value, run, anchor-value): the anchor
@@ -362,16 +400,16 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                              & mok & (bcol > 0))
 
                     start_case = lzseq_src == 1
-                    cand_s = matv_src + ct[qs(0, ni)]
+                    cand_s = matv_src + CT(qs(0, ni))
                     k_c = lenr_src // n + 1
                     cont_val = bigf
                     for kk in range(1, KU + 1):
                         cont_val = jnp.where(k_c == kk,
-                                             ct[qs(0, ni) + kk - 1],
+                                             CT(qs(0, ni) + kk - 1),
                                              cont_val)
                     cont_ok = lenr_src > 0
-                    sat = ct[qs(0, ni) + KN]
-                    lbv = ct[qs(0, ni) + KN + 1]
+                    sat = CT(qs(0, ni) + KN)
+                    lbv = CT(qs(0, ni) + KN + 1)
                     is_sat = k_c >= 99 - l_n
                     gap = (k_c > KU) & ~is_sat
                     cont_val = jnp.where(k_c > KU,
@@ -404,18 +442,18 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                     valid2 = src_ok2 & (l_n2 > 0) & (bcol < 2 * r)
 
                     start2 = lz_n2 == 1
-                    cand_s2 = matv_src2 + roll(ct[qs(1, ni)], n)
+                    cand_s2 = matv_src2 + roll(CT(qs(1, ni)), n)
                     k_c2 = shrr_src // n + 1
                     cont_val2 = bigf
                     for kk in range(1, KU + 1):
                         cont_val2 = jnp.where(
-                            k_c2 == kk, roll(ct[qs(1, ni) + kk - 1], n),
+                            k_c2 == kk, roll(CT(qs(1, ni) + kk - 1), n),
                             cont_val2)
                     # anchorless first_col cells carry run=arow with no
                     # real anchor value; their lane is exactly acol == n
                     cont_ok2 = (shrr_src > 0) & (acol != n)
-                    sat2 = roll(ct[qs(1, ni) + KN], n)
-                    lbv2 = roll(ct[qs(1, ni) + KN + 1], n)
+                    sat2 = roll(CT(qs(1, ni) + KN), n)
+                    lbv2 = roll(CT(qs(1, ni) + KN + 1), n)
                     is_sat2 = k_c2 > l_n2
                     gap2 = (k_c2 > KU) & ~is_sat2
                     cont_val2 = jnp.where(k_c2 > KU,
@@ -478,7 +516,7 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
             sub = zf
             for s in range(5):
                 # roll +1: MAT consumes ref[acol-1]; ct planes bind at acol
-                sub = jnp.where(sv == s, roll(ct[QF + s], 1), sub)
+                sub = jnp.where(sv == s, roll(CT(QF + s), 1), sub)
             can_diag = (arow > 0) & (acol > 0)
             run_diag = jnp.where(matt_diag == MAT, matr_diag + 1, 1)
             v1 = jnp.where(can_diag, matv_diag + sub, del_v + INF)
@@ -543,8 +581,13 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
         def blk_body(b, carry):
             T0 = b * BLK
             load_block(b)
-            # rolling steps tile: fresh per block from the DMA'd tile
-            carry = carry[:-1] + (steps_b[:, :],)
+            # rolling steps tile: lane i = row T0+i, assembled from the
+            # 2-tile linear DMA by select + one dynamic roll
+            off = (b * BLK) % LANES
+            w0 = jnp.where(lane1 >= off,
+                           steps2_b[:, 0, :], steps2_b[:, 1, :])
+            carry = carry[:-1] + (
+                pltpu.roll(w0, shift=(LANES - off) % LANES, axis=1),)
 
             # manual 6-row unroll (= lcm of every carried history period:
             # the 6-deep mv/lr/sav/... rotations and the 2-deep mt/mr):
@@ -639,8 +682,8 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                          memory_space=pltpu.VMEM),   # scal
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # steps
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # linr
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # lins
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # cts
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # lins
         ],
         out_specs=[
             pl.BlockSpec((None, W, 8), lambda gg: (gg, 0, 0),
@@ -653,14 +696,15 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                                                np.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NL, W, 2, LANES), np.int32),   # lin2_b
-            pltpu.VMEM((2, W, 2, LANES), np.int32),    # seq2_b (packed)
-            pltpu.VMEM((NL, W, LANES), np.int32),
-            pltpu.VMEM((2, W, LANES), np.int32),
-            pltpu.VMEM((QT, W, LANES), np.float32),
-            pltpu.VMEM((W, LANES), np.int32),
-            pltpu.VMEM((BLK, W, LANES), np.int32),
-            pltpu.VMEM((W, LANES), np.int32),
+            pltpu.VMEM((NL, W, 2, LANES), np.int32),     # lin2_b
+            pltpu.VMEM((CH, W, 2, LANES), np.float32),   # ct2_b (staging)
+            pltpu.VMEM((2, W, 2, LANES), np.int32),      # seq2_b (packed)
+            pltpu.VMEM((NL, W, LANES), np.int32),        # lin_b
+            pltpu.VMEM((QT, W, LANES), np.float32),      # ct_b
+            pltpu.VMEM((2, W, LANES), np.int32),         # seq_b
+            pltpu.VMEM((W, 2, LANES), np.int32),         # steps2_b
+            pltpu.VMEM((BLK, W, LANES), np.int32),       # packed_b
+            pltpu.VMEM((W, LANES), np.int32),            # zbuf
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,

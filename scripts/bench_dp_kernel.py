@@ -92,8 +92,6 @@ def main() -> int:
 
     if "--split" in sys.argv:
         _split_stages(eng, pk8_d, idx32_d, sub_d, r_pad, reps)
-    if "--ppsplit" in sys.argv:
-        _pp_split(eng, pk8_d, idx32_d, r_pad, reps)
     if "--ppcum" in sys.argv:
         _pp_cum(eng, pk8_d, idx32_d, r_pad, reps)
     return 0
@@ -125,14 +123,21 @@ def _pp_cum(eng, pk8_d, idx32_d, r_pad, reps):
     sd8 = jnp.asarray((pk8 >> 6).reshape(-1, W, pk8.shape[1]))
     p0 = np.asarray(idx32[:, :, 0:nblk].reshape(-1, nblk))
 
+    def one(o):
+        # sync on a SINGLE element: stage outputs differ in shape, and a
+        # [:1] leading-slice of a wide leaf drags MBs over the ~25MB/s
+        # D2H tunnel, polluting the deltas
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        return jax.device_get(leaf[tuple(slice(0, 1) for _ in leaf.shape)])
+
     def timeit(f):
         outs = f(ref8, seq8, sd8, p0)
-        jax.device_get(jax.tree_util.tree_leaves(outs)[0][:1])
+        one(outs)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
             o = f(ref8, seq8, sd8, p0)
-            jax.device_get(jax.tree_util.tree_leaves(o)[0][:1])
+            one(o)
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -144,7 +149,7 @@ def _pp_cum(eng, pk8_d, idx32_d, r_pad, reps):
     floor = timeit(jax.jit(
         lambda a, b, c, d: jnp.sum(a[:1, :8].astype(jnp.int32),
                                    keepdims=True)))
-    stages = ["npinfo", "tables", "gather", "matmul", "relayout", None]
+    stages = ["npinfo", "tables", "matmul", None]
     prev, out = floor, []
     for s in stages:
         t = timeit(make(s))
@@ -152,157 +157,6 @@ def _pp_cum(eng, pk8_d, idx32_d, r_pad, reps):
         prev = t
     print(f"ppcum (floor {floor * 1000:.2f} ms): " + ", ".join(out)
           + f"; full total {(prev - floor) * 1000:.2f} ms")
-
-
-def _pp_split(eng, pk8_d, idx32_d, r_pad, reps):
-    """Time the prepass sub-stages as separate jits (npinfo ref/seq+pack,
-    table assembly, block gathers, one-hot matmuls, steps) and report each
-    net of the measured dispatch+fetch floor."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from npore_tpu.engine.pallas_engine import _idx_layout
-    from npore_tpu.engine.prepass import ct_layout
-    from npore_tpu.ops.npinfo_device import np_info_device
-    from npore_tpu.ops.pallas_dp import BLK, LANES, TBLK
-
-    cfg = eng.cfg
-    max_n, max_l = cfg.max_n, cfg.max_l
-    gc = eng.g_call_for(r_pad)
-    G = eng.n_shards * gc
-    W = 32
-    B = G * W
-    P2 = r_pad + 512
-    PADL = 128
-    A_OFF = r_pad + 128
-    NL = 1 + 2 * max_n
-    nblk = r_pad // BLK
-    ntb = r_pad // TBLK
-    offs, QF = ct_layout(max_n, eng.kmaxn)
-
-    idx32 = np.asarray(jax.device_get(idx32_d))
-    pk8 = np.asarray(jax.device_get(pk8_d))
-    ref8 = jnp.asarray(pk8 & 7)
-    seq8 = jnp.asarray((pk8 >> 3) & 7)
-    sd8 = jnp.asarray((pk8 >> 6).reshape(-1, W, pk8.shape[1]))
-    p0 = np.asarray(idx32[:, :, 0:nblk].reshape(-1, nblk))
-
-    def timeit(fn, *args):
-        f = jax.jit(fn)
-        outs = f(*args)
-        jax.device_get(jax.tree_util.tree_leaves(outs)[0][:1])
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            o = f(*args)
-            jax.device_get(jax.tree_util.tree_leaves(o)[0][:1])
-            best = min(best, time.perf_counter() - t0)
-        return outs, best
-
-    _, floor = timeit(lambda x: x + 1, jnp.zeros((8, 128), jnp.int32))
-
-    def side(x8):
-        x = x8.astype(jnp.int32)
-        L, LZ = np_info_device(x, max_n, max_l)
-        return jnp.concatenate(
-            [x[:, None, :], jnp.minimum(L, 127), LZ], axis=1)
-
-    pr, t_ref = timeit(side, ref8)
-
-    def seq_pack(x8):
-        psl = side(x8)
-        pA = psl[:, 0, :]
-        for ni in range(min(4, max_n)):
-            pA = pA | (psl[:, 1 + ni, :] << (3 + 7 * ni))
-        pB = jnp.zeros_like(pA)
-        for ni in range(4, max_n):
-            pB = pB | (psl[:, 1 + ni, :] << (7 * (ni - 4)))
-        for ni in range(max_n):
-            pB = pB | (psl[:, 1 + max_n + ni, :] << (14 + ni))
-        return jnp.stack([pA, pB], axis=1)
-
-    ps, t_seq = timeit(seq_pack, seq8)
-
-    def assemble(pr, ps):
-        defr = np.zeros((NL, 1), np.int32)
-        defr[1 + max_n:] = 1
-        linr_lin = jnp.concatenate(
-            [jnp.broadcast_to(jnp.asarray(defr), (B, NL, PADL)), pr,
-             jnp.broadcast_to(jnp.asarray(defr),
-                              (B, NL, P2 - PADL - r_pad))], axis=2)
-        lz_def = sum(1 << (14 + ni) for ni in range(max_n))
-        defs = np.zeros((2, 1), np.int32)
-        defs[1] = lz_def
-        lins_lin = jnp.concatenate(
-            [jnp.broadcast_to(jnp.asarray(defs),
-                              (B, 2, A_OFF + 1 - r_pad)),
-             jnp.flip(ps, axis=2),
-             jnp.broadcast_to(jnp.asarray(defs), (B, 2, P2 - A_OFF - 1))],
-            axis=2)
-        return (linr_lin.reshape(B, NL, P2 // LANES, LANES),
-                lins_lin.reshape(B, 2, P2 // LANES, LANES), linr_lin)
-
-    (linr, lins, linr_lin), t_asm = timeit(assemble, pr, ps)
-
-    c0 = (PADL + p0) // LANES
-    r0 = (PADL + p0) % LANES
-    tidx = jnp.asarray(np.stack([c0, c0 + 1], axis=2).reshape(
-        B, 1, nblk * 2, 1))
-    lsel = jnp.asarray(np.arange(LANES, dtype=np.int32)[None, None, :]
-                       >= r0[:, :, None])
-
-    def gathers(linr_lin):
-        lint = linr_lin[:, 0:1 + max_n, :].reshape(
-            B, 1 + max_n, P2 // LANES, LANES)
-        two = jnp.take_along_axis(
-            lint, tidx, axis=2).reshape(B, 1 + max_n, nblk, 2, LANES)
-        blk_pl = jnp.where(lsel[:, None, :, :],
-                           two[:, :, :, 0, :], two[:, :, :, 1, :])
-        blk_pl = blk_pl.reshape(B, 1 + max_n, nblk * LANES)
-        return blk_pl[:, 1:, :], blk_pl[:, 0, :]
-
-    (l_blk, r_blk), t_gat = timeit(gathers, linr_lin)
-
-    iota_l = jnp.arange(np.asarray(eng.cont_cols[0][0]).shape[0],
-                        dtype=jnp.int32)
-
-    def matmuls(l_blk, r_blk):
-        parts = []
-        for ni in range(max_n):
-            tab2 = jnp.asarray(np.concatenate(
-                [np.asarray(eng.cont_cols[0][ni]),
-                 np.asarray(eng.cont_cols[1][ni])], axis=1))
-            oh = (l_blk[:, ni, :, None] == iota_l).astype(jnp.float32)
-            parts.append(jax.lax.dot_general(
-                oh, tab2, (((2,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST))
-        oh_r = (r_blk[:, :, None] == jnp.arange(5, dtype=jnp.int32)
-                ).astype(jnp.float32)
-        subT = jnp.asarray(np.ascontiguousarray(
-            np.asarray(eng.sub_scores, np.float32).T))
-        parts.append(jax.lax.dot_general(
-            oh_r, subT, (((2,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST))
-        g = jnp.concatenate(parts, axis=2)
-        QT = g.shape[2]
-        return g.reshape(G, W, nblk, LANES, QT).transpose(0, 2, 4, 1, 3)
-
-    _, t_mm = timeit(matmuls, l_blk, r_blk)
-
-    def steps_fn(sd8):
-        sd = jnp.concatenate(
-            [sd8.astype(jnp.int32), jnp.zeros((G, W, 128), jnp.int32)],
-            axis=2)
-        return jnp.stack([sd[:, :, b * BLK:b * BLK + LANES]
-                          for b in range(nblk)], axis=1)
-
-    _, t_st = timeit(steps_fn, sd8)
-
-    f = floor * 1000
-    print(f"ppsplit (net of {f:.2f} ms floor): "
-          f"npinfo_ref {t_ref*1000-f:.2f}, npinfo_seq+pack {t_seq*1000-f:.2f}, "
-          f"assemble {t_asm*1000-f:.2f}, gathers {t_gat*1000-f:.2f}, "
-          f"matmuls {t_mm*1000-f:.2f}, steps {t_st*1000-f:.2f} ms")
 
 
 def _split_stages(eng, pk8_d, idx32_d, sub_d, r_pad, reps):
@@ -368,10 +222,10 @@ def _split_stages(eng, pk8_d, idx32_d, sub_d, r_pad, reps):
         return outs, best
 
     outs, t_pp = timeit(pp, (ref8, seq8, sd8, p0), 0)
-    linr, lins, steps, cts = outs
+    linr, cts, lins, steps = outs
     dpo, t_dp = timeit(
         dpj, (planes["p0c"], planes["p0r"], planes["s0c"], planes["s0r"],
-              maxb, sub_d, scal, steps, linr, lins, cts), 0)
+              maxb, sub_d, scal, steps, linr, cts, lins), 0)
     dp_bail, packed = dpo
     _, t_tb = timeit(
         tbj, (planes["p1c"], planes["p1r"], planes["s1c"], planes["s1r"],
