@@ -21,7 +21,13 @@ from ..ops.pallas_dp import (BLK, KMAXN, LANES, MAXB_Q, RQ, TBLK, W,
 KMAXN_INTERPRET = (10, 8, 6, 5, 4, 3)
 from .windows import Window, build_windows
 
-G_CALL = 8                      # programs per device call (G_CALL*W windows)
+import os as _os
+
+# programs per device call (G_CALL*W windows). The tunnel charges ~25ms
+# latency per RPC and appears to serialize them, so bigger groups
+# amortize per-group latency against HBM headroom (g_call_for scales
+# down for big r_pad buckets); env knob for HW sweeps.
+G_CALL = int(_os.environ.get("NPORE_G_CALL", "8"))
 _OPCH = np.frombuffer(b"=XID", dtype=np.uint8)
 
 
@@ -94,9 +100,9 @@ def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
         s1c, s1r = t0 // 128, t0 % 128
         scal = planes["scal"]
         maxb = planes["maxb"][:, 0]
-        linr, cts, lins, steps = prepass(ref8, seq8, sd8, p0)
+        linr, ctc, ctr, lins, steps = prepass(ref8, seq8, sd8, p0)
         dp_bail, packed = dp(p0c, p0r, s0c, s0r, maxb, sub, scal,
-                             steps, linr, cts, lins)
+                             steps, linr, ctc, ctr, lins)
         tb_bail, slots = tb(p1c, p1r, s1c, s1r, maxb, scal, linr, lins,
                             packed)
         # one D2H array: [dp_bail | tb_bail | slot tiles] per program

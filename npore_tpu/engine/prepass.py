@@ -1,14 +1,16 @@
 """XLA prepass: build the Pallas engine's linear tables and score tiles
 on device.
 
-From raw int8 window sequences this emits:
-  * the (B, NL, PB, 128) tiled linear tables (bases + n-polymer L/LZ
-    planes; ref side position-linear, seq side reversed), and
-  * the (B, nblk, QF, 128) per-block *score tiles*: np-score start /
-    continuation / SAT / LB planes for every period n with full-k coverage
-    (ops/pallas_dp.KMAXN), already gathered into each block's
-    lane-aligned layout so the DP kernel only DMAs them (no in-kernel
-    gathers or rolls).
+From raw int8 window sequences this emits, all position-linear in
+128-lane tiles (the DP kernel block-aligns everything itself with
+aligned-2-tile DMAs + lane selects):
+  * the (B, NL, P2/128, 128) lin tables (bases + n-polymer L/LZ planes;
+    ref side position-linear, seq side reversed + bit-packed),
+  * the (B, QC+5, P2/128, 128) COMMON score planes (np-score k<=KSHORT,
+    SAT, LB per (side, period) + 5 substitution planes) and the
+    (B, QR, P2/128, 128) RARE planes (k in (KSHORT, KMAXN]) the DP
+    fetches on demand in its full-ladder tier, and
+  * the (G, W, T, 128) position-linear steps tiles.
 
 np_info runs as segmented scans (ops/npinfo_device.py); moving all of
 this onto the device keeps per-group H2D under ~1MB across the
@@ -18,21 +20,36 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..ops.pallas_dp import BLK, KMAXN, LANES
+from ..ops.pallas_dp import BLK, KMAXN, KSHORT, LANES
 
 
-def ct_layout(max_n: int, kmaxn=KMAXN):
-    """Per-(side, n) plane offsets in the score tiles; QF total planes.
+def ct_layouts(max_n: int, kmaxn=KMAXN, kshort: int = 8):
+    """Split score-plane layouts, pair-major per period.
 
-    Pair-major: both sides of one period sit adjacent, so the prepass
-    emits each period's planes with a single table matmul."""
-    offs = [[0] * max_n, [0] * max_n]
-    q = 0
+    COMMON planes (always DMA'd per DP block): k = 1..min(K, kshort),
+    SAT, LB per (side, n) — everything the DP's common k-select tier
+    reads (+5 substitution planes the prepass appends). RARE planes
+    (fetched on demand inside the full-ladder cond): k in (kshort, K].
+    Splitting cuts the DP's per-block score DMA ~3.2x at production
+    KMAXN (r4 ppcum: the DP became DMA-stall bound once the prepass
+    block expansion moved into the kernel).
+
+    Returns (offc, QC, offr, QR, kcs): offsets into the common/rare
+    arrays and per-period common ladder depths kcs[ni] = min(K, kshort).
+    """
+    offc = [[0] * max_n, [0] * max_n]
+    offr = [[0] * max_n, [0] * max_n]
+    kcs = []
+    qc = qr = 0
     for ni in range(max_n):
+        kc = min(kmaxn[ni], kshort)
+        kcs.append(kc)
         for side in range(2):
-            offs[side][ni] = q
-            q += kmaxn[ni] + 2          # k=1..K, SAT, LB
-    return offs, q
+            offc[side][ni] = qc
+            qc += kc + 2                # k=1..kc, SAT, LB
+            offr[side][ni] = qr
+            qr += kmaxn[ni] - kc
+    return offc, qc, offr, qr, tuple(kcs)
 
 
 def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
@@ -56,7 +73,7 @@ def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
     NL = 1 + 2 * max_n
     nblk = r_pad // BLK
     B = G * W
-    offs, QF = ct_layout(max_n, kmaxn)
+    offc, QC, offr, QR, kcs = ct_layouts(max_n, kmaxn, KSHORT)
 
     assert max_n <= 6, "seq-plane bit packing holds at most 6 periods"
 
@@ -138,17 +155,27 @@ def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
         # gather on this backend. Both sides of a period share one matmul
         # (ct_layout is pair-major).
         iota_l = jnp.arange(cont_cols[0][0].shape[0], dtype=jnp.int32)
-        parts = []
+        parts_c, parts_r = [], []
         for ni in range(max_n):
-            tab2 = jnp.asarray(np.concatenate(
-                [np.asarray(cont_cols[0][ni]), np.asarray(cont_cols[1][ni])],
-                axis=1))                                   # (101, 2K+4)
+            T0 = np.asarray(cont_cols[0][ni])              # (101, K+2)
+            T1 = np.asarray(cont_cols[1][ni])
+            K = kmaxn[ni]
+            kc = kcs[ni]
+            # common: [k<=kc, SAT, LB] per side; rare: k in (kc, K]
+            tabc = np.concatenate(
+                [T0[:, :kc], T0[:, K:K + 2],
+                 T1[:, :kc], T1[:, K:K + 2]], axis=1)
+            tabr = np.concatenate([T0[:, kc:K], T1[:, kc:K]], axis=1)
             ohT = (linr_lin[:, 1 + ni, None, :] == iota_l[None, :, None]
                    ).astype(jnp.float32)                   # (B, 101, P2)
-            tabb = jnp.broadcast_to(tab2.T[None], (B,) + tab2.T.shape)
-            parts.append(jax.lax.dot_general(
-                tabb, ohT, (((2,), (1,)), ((0,), (0,))),
-                precision=jax.lax.Precision.HIGHEST))      # (B, 2K+4, P2)
+            for tab, parts in ((tabc, parts_c), (tabr, parts_r)):
+                if tab.shape[1] == 0:
+                    continue
+                tabb = jnp.broadcast_to(jnp.asarray(tab).T[None],
+                                        (B, tab.shape[1], tab.shape[0]))
+                parts.append(jax.lax.dot_general(
+                    tabb, ohT, (((2,), (1,)), ((0,), (0,))),
+                    precision=jax.lax.Precision.HIGHEST))  # (B, cols, P2)
         if sub_scores is not None:
             # sub planes: plane s holds sub_scores[s, ref[pos]], same
             # linear layout (exact via the same one-hot matmul)
@@ -157,13 +184,19 @@ def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
                    ).astype(jnp.float32)                   # (B, 5r, P2)
             subb = jnp.broadcast_to(jnp.asarray(
                 np.asarray(sub_scores, np.float32))[None], (B, 5, 5))
-            parts.append(jax.lax.dot_general(
+            parts_c.append(jax.lax.dot_general(
                 subb, ohr, (((2,), (1,)), ((0,), (0,))),
                 precision=jax.lax.Precision.HIGHEST))      # (B, 5s, P2)
-        g = jnp.concatenate(parts, axis=1)                # (B, QT, P2)
-        cts = g.reshape(B, g.shape[1], P2 // LANES, LANES)
+        gc_ = jnp.concatenate(parts_c, axis=1)            # (B, QC+5, P2)
+        ctc = gc_.reshape(B, gc_.shape[1], P2 // LANES, LANES)
+        if parts_r:
+            gr = jnp.concatenate(parts_r, axis=1) if len(parts_r) > 1 \
+                else parts_r[0]                            # (B, QR, P2)
+            ctr = gr.reshape(B, gr.shape[1], P2 // LANES, LANES)
+        else:       # all K <= KSHORT: dummy plane, never DMA'd
+            ctr = jnp.zeros((B, 1, P2 // LANES, LANES), jnp.float32)
         if stop_after == "matmul":
-            return linr, lins, cts
+            return linr, lins, ctc, ctr
 
         # steps stay POSITION-LINEAR: the old per-block tile stack was
         # overlapping slices (stride BLK=48, length 128 — a 2.67x
@@ -173,6 +206,6 @@ def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
             [sd8.astype(jnp.int32),
              jnp.zeros((G, W, 256), jnp.int32)],
             axis=2).reshape(G, W, (r_pad + 256) // LANES, LANES)
-        return linr, cts, lins, steps
+        return linr, ctc, ctr, lins, steps
 
     return jax.jit(prepass)

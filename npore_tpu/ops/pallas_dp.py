@@ -155,7 +155,7 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    from ..engine.prepass import ct_layout
+    from ..engine.prepass import ct_layouts
 
     # EXPERIMENTAL cost-model ablations (NPORE_DP_ABLATE, comma list).
     # These deliberately produce WRONG alignments (except 'notier') and
@@ -171,8 +171,9 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
     iext = np.float32(indel_extend)
     nblk = R_pad // BLK
     NL = 1 + 2 * max_n
-    OFFS, QF = ct_layout(max_n, kmaxn)
-    QT = QF + 5       # + ref-bound substitution-score planes (prepass)
+    OFFC, QC, OFFR, QR, KCS = ct_layouts(max_n, kmaxn, KSHORT)
+    QT = QC + 5       # common planes + ref-bound substitution planes
+    QRT = max(QR, 1)  # rare planes (k > KSHORT; dummy plane when none)
     F32, I32 = jnp.float32, jnp.int32
     big = np.float32(np.inf)
 
@@ -180,20 +181,19 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
         s = s % LANES
         return v if s == 0 else pltpu.roll(v, shift=s, axis=1)
 
-    # the score-plane 2-tile staging buffer is chunked: a full-width
-    # (QT, W, 2, 128) staging is ~13MB at production KMAXN and blows the
-    # 16MB scoped-VMEM limit together with ct_b (same DMA bytes/strides,
-    # +NCH-1 issues per window)
+    # the score-plane 2-tile staging buffer is chunked to stay inside
+    # the 16MB scoped-VMEM limit; the SAME staging serves both the
+    # per-block common loads and the rare on-demand loads
     NCH = 1
-    while ((QT + NCH - 1) // NCH) * W * 2 * LANES * 4 > (4 << 20):
+    while ((QT + NCH - 1) // NCH) * W * 2 * LANES * 4 > (3 << 20):
         NCH += 1
     CH = (QT + NCH - 1) // NCH
 
     def dp_kernel(p0c, p0r, s0c, s0r, maxb_s, sub_s,
-                  scal_v, steps, linr, cts, lins,
+                  scal_v, steps, linr, cts, ctr, lins,
                   bail_o, packed_o,
-                  lin2_b, ct2_b, seq2_b, lin_b, ct_b, seq_b, steps2_b,
-                  packed_b, zbuf, sems):
+                  lin2_b, ct2_b, seq2_b, lin_b, ct_b, rare_b, seq_b,
+                  steps2_b, packed_b, zbuf, rflag, sems):
         g = pl.program_id(0)
         lane = jax.lax.broadcasted_iota(I32, (W, LANES), 1)
         b_rows = scal_v[:, 0:1]
@@ -269,11 +269,48 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
             # seq planes: re-bind from (-a mod 128) to (T0 - a mod 128)
             seq_b[:] = pltpu.roll(seq_b[:], shift=(b * BLK) % LANES, axis=2)
 
-        def qs(side, ni):
-            return OFFS[side][ni]
-
         def CT(q):
             return ct_b[q]
+
+        def CVAL(side, ni, kk):
+            # continuation plane for k = kk: common tier holds
+            # k <= KCS[ni]; deeper k live in the on-demand rare array
+            kc = KCS[ni]
+            if kk <= kc:
+                return ct_b[OFFC[side][ni] + kk - 1]
+            return rare_b[OFFR[side][ni] + kk - 1 - kc]
+
+        def CSAT(side, ni):
+            return ct_b[OFFC[side][ni] + KCS[ni]]
+
+        def CLB(side, ni):
+            return ct_b[OFFC[side][ni] + KCS[ni] + 1]
+
+        NRCH = (QR + CH - 1) // CH
+
+        def load_rare(b):
+            # fetch the rare continuation planes for the CURRENT block
+            # (cached per block via the SMEM flag at the call site); the
+            # full-ladder tier is data-rare, so these 2-tile DMAs are
+            # off the steady-state path entirely
+            for c in range(NRCH):
+                lo = c * CH
+                n_pl = min(QR, lo + CH) - lo
+                ds_ = []
+                for w in range(W):
+                    d = pltpu.make_async_copy(
+                        ctr.at[g * W + w, pl.ds(lo, n_pl),
+                               pl.ds(p0c[w, b], 2), :],
+                        ct2_b.at[pl.ds(0, n_pl), w], sems.at[3])
+                    d.start()
+                    ds_.append(d)
+                for d in ds_:
+                    d.wait()
+                for w in range(W):
+                    rare_b[pl.ds(lo, n_pl), w, :] = jnp.where(
+                        lane1 >= p0r[w, b],
+                        ct2_b[pl.ds(0, n_pl), w, 0, :],
+                        ct2_b[pl.ds(0, n_pl), w, 1, :])
 
         def row_step(t, i, carry, n_hi=max_n):
             # LEN/SHR carry only (value, run, anchor-value): the anchor
@@ -371,7 +408,6 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
 
                 for n in range(n_hi, 0, -1):
                     ni = n - 1
-                    KN = kmaxn[ni]          # fixed table layout offsets
                     KU = kuse[ni]           # ladder depth for this tier
                     dels_n = dh[n - 1]
                     # ---- LEN source (arow-n, acol): same lane, row t-n ----
@@ -400,16 +436,16 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                              & mok & (bcol > 0))
 
                     start_case = lzseq_src == 1
-                    cand_s = matv_src + CT(qs(0, ni))
+                    cand_s = matv_src + CVAL(0, ni, 1)
                     k_c = lenr_src // n + 1
                     cont_val = bigf
                     for kk in range(1, KU + 1):
                         cont_val = jnp.where(k_c == kk,
-                                             CT(qs(0, ni) + kk - 1),
+                                             CVAL(0, ni, kk),
                                              cont_val)
                     cont_ok = lenr_src > 0
-                    sat = CT(qs(0, ni) + KN)
-                    lbv = CT(qs(0, ni) + KN + 1)
+                    sat = CSAT(0, ni)
+                    lbv = CLB(0, ni)
                     is_sat = k_c >= 99 - l_n
                     gap = (k_c > KU) & ~is_sat
                     cont_val = jnp.where(k_c > KU,
@@ -442,18 +478,18 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                     valid2 = src_ok2 & (l_n2 > 0) & (bcol < 2 * r)
 
                     start2 = lz_n2 == 1
-                    cand_s2 = matv_src2 + roll(CT(qs(1, ni)), n)
+                    cand_s2 = matv_src2 + roll(CVAL(1, ni, 1), n)
                     k_c2 = shrr_src // n + 1
                     cont_val2 = bigf
                     for kk in range(1, KU + 1):
                         cont_val2 = jnp.where(
-                            k_c2 == kk, roll(CT(qs(1, ni) + kk - 1), n),
+                            k_c2 == kk, roll(CVAL(1, ni, kk), n),
                             cont_val2)
                     # anchorless first_col cells carry run=arow with no
                     # real anchor value; their lane is exactly acol == n
                     cont_ok2 = (shrr_src > 0) & (acol != n)
-                    sat2 = roll(CT(qs(1, ni) + KN), n)
-                    lbv2 = roll(CT(qs(1, ni) + KN + 1), n)
+                    sat2 = roll(CSAT(1, ni), n)
+                    lbv2 = roll(CLB(1, ni), n)
                     is_sat2 = k_c2 > l_n2
                     gap2 = (k_c2 > KU) & ~is_sat2
                     cont_val2 = jnp.where(k_c2 > KU,
@@ -495,7 +531,19 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                         for runp in (lr[ni], sr[ni]):
                             need = need | ((runp >= klo[ni] * n)
                                            & (runp < kmaxn[ni] * n))
-                res = jax.lax.cond(jnp.any(need),
+                need_any = jnp.any(need)
+
+                # rare continuation planes load lazily, once per block:
+                # the SMEM flag is reset at block start, so the DMA runs
+                # only on the first full-ladder row of a block (the
+                # branches themselves stay pure — only this pl.when has
+                # memory effects)
+                @pl.when(need_any & (rflag[0] == 0))
+                def _():
+                    load_rare(t // BLK)
+                    rflag[0] = 1
+
+                res = jax.lax.cond(need_any,
                                    lambda: lenshr(kmaxn),
                                    lambda: lenshr(klo))
             else:
@@ -516,7 +564,7 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
             sub = zf
             for s in range(5):
                 # roll +1: MAT consumes ref[acol-1]; ct planes bind at acol
-                sub = jnp.where(sv == s, roll(CT(QF + s), 1), sub)
+                sub = jnp.where(sv == s, roll(CT(QC + s), 1), sub)
             can_diag = (arow > 0) & (acol > 0)
             run_diag = jnp.where(matt_diag == MAT, matr_diag + 1, 1)
             v1 = jnp.where(can_diag, matv_diag + sub, del_v + INF)
@@ -581,6 +629,7 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
         def blk_body(b, carry):
             T0 = b * BLK
             load_block(b)
+            rflag[0] = 0          # rare planes not loaded for this block
             # rolling steps tile: lane i = row T0+i, assembled from the
             # 2-tile linear DMA by select + one dynamic roll
             off = (b * BLK) % LANES
@@ -683,6 +732,7 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # steps
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # linr
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # cts
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # ctr
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # lins
         ],
         out_specs=[
@@ -700,11 +750,13 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
             pltpu.VMEM((CH, W, 2, LANES), np.float32),   # ct2_b (staging)
             pltpu.VMEM((2, W, 2, LANES), np.int32),      # seq2_b (packed)
             pltpu.VMEM((NL, W, LANES), np.int32),        # lin_b
-            pltpu.VMEM((QT, W, LANES), np.float32),      # ct_b
+            pltpu.VMEM((QT, W, LANES), np.float32),      # ct_b (common)
+            pltpu.VMEM((QRT, W, LANES), np.float32),     # rare_b
             pltpu.VMEM((2, W, LANES), np.int32),         # seq_b
             pltpu.VMEM((W, 2, LANES), np.int32),         # steps2_b
             pltpu.VMEM((BLK, W, LANES), np.int32),       # packed_b
             pltpu.VMEM((W, LANES), np.int32),            # zbuf
+            pltpu.SMEM((1,), np.int32),                  # rflag
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,

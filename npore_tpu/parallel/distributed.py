@@ -56,6 +56,15 @@ def init_distributed(coordinator: Optional[str] = None,
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_hosts,
                                process_id=host_id)
+    # Warm the collective context NOW, while every host is still at the
+    # same program point: gloo builds its mesh lazily at the FIRST
+    # collective with a ~30s key-exchange deadline, and the first
+    # collective otherwise happens after minutes of per-host kernel
+    # compilation that drifts hosts apart (observed: 4-host pallas run,
+    # hosts 2/3 still compiling -> "Gloo context initialization failed:
+    # DEADLINE_EXCEEDED" on host 0).
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("npore_init")
     return jax.process_index(), jax.process_count()
 
 

@@ -222,10 +222,10 @@ def _split_stages(eng, pk8_d, idx32_d, sub_d, r_pad, reps):
         return outs, best
 
     outs, t_pp = timeit(pp, (ref8, seq8, sd8, p0), 0)
-    linr, cts, lins, steps = outs
+    linr, ctc, ctr, lins, steps = outs
     dpo, t_dp = timeit(
         dpj, (planes["p0c"], planes["p0r"], planes["s0c"], planes["s0r"],
-              maxb, sub_d, scal, steps, linr, cts, lins), 0)
+              maxb, sub_d, scal, steps, linr, ctc, ctr, lins), 0)
     dp_bail, packed = dpo
     _, t_tb = timeit(
         tbj, (planes["p1c"], planes["p1r"], planes["s1c"], planes["s1r"],

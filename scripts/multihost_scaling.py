@@ -58,6 +58,18 @@ def _run_config(n_hosts: int, args, workdir: str):
         if n_hosts > 1:
             cmd += ["--num_hosts", str(n_hosts), "--host_id", str(h),
                     "--coordinator", f"localhost:{port}"]
+        if args.pin_cores:
+            # emulate N IDENTICAL hosts on one box: each worker gets its
+            # own core slice (incl. the 1-host baseline), otherwise a
+            # single XLA-threaded worker saturates every core and the
+            # sweep measures oversubscription, not scaling
+            lo = h * args.pin_cores
+            hi = lo + args.pin_cores - 1
+            if hi >= (os.cpu_count() or 1):
+                raise SystemExit(
+                    f"--pin_cores {args.pin_cores} x {n_hosts} hosts "
+                    f"exceeds {os.cpu_count()} cores")
+            cmd = ["taskset", "-c", f"{lo}-{hi}"] + cmd
         log = os.path.join(workdir, f"host{h}_of{n_hosts}.log")
         logs.append(log)
         procs.append(subprocess.Popen(
@@ -105,6 +117,10 @@ def main() -> int:
                     help="engines to sweep; 'pallas' runs the production "
                          "Mosaic path (interpret mode off-TPU)")
     ap.add_argument("--max_reads", type=int, default=0)
+    ap.add_argument("--pin_cores", type=int, default=0,
+                    help="cores per simulated host (taskset); makes the "
+                         "per-host hardware equal across configs, incl. "
+                         "the 1-host baseline")
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
     engines = [args.engine] if args.engine else args.engines
