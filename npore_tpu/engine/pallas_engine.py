@@ -179,6 +179,11 @@ class PallasEngine:
         self._sub = sub_pad
         self._sub_on = {}               # device -> resident score table
         self.bail_count = 0
+        import os
+        # per-group phase timing (put/dispatch/async-copy/get) on stderr;
+        # NPORE_TIMING_GROUPS=1 — the per-read NPORE_TIMING split can't
+        # attribute time WITHIN the tunneled submit/collect path
+        self._timing_groups = os.environ.get("NPORE_TIMING_GROUPS") == "1"
         import threading
         from concurrent.futures import ThreadPoolExecutor
         # two submitter threads: group i+1's batch packing overlaps group
@@ -344,15 +349,22 @@ class PallasEngine:
                         self.interpret, self.cont_cols, self.kmaxn,
                         mesh=self.mesh, sub_scores=self.sub_scores)
         run = self._composites[key]
+        from time import perf_counter as _pc
+        t0 = _pc()
         if (key, dev) not in self._warm:
             # serialize the first (compiling) execution of each
             # (shape, device) so concurrent submitters never duplicate a
             # multi-minute compile
             with self._compile_lock:
-                out = run(put(buf), sub_dev)
+                buf_d = put(buf)
+                t1 = _pc()
+                out = run(buf_d, sub_dev)
                 self._warm.add((key, dev))
         else:
-            out = run(put(buf), sub_dev)
+            buf_d = put(buf)
+            t1 = _pc()
+            out = run(buf_d, sub_dev)
+        t2 = _pc()
         # queue the D2H at submit time: the packed result (~280KB/group)
         # rides the ~20-27MB/s tunnel while LATER groups compute, instead
         # of being paid synchronously inside _collect_group's device_get
@@ -361,6 +373,11 @@ class PallasEngine:
             out.copy_to_host_async()
         except (AttributeError, NotImplementedError):
             pass
+        if self._timing_groups:
+            print(f"    [group r_pad={r_pad} n={len(group)}] "
+                  f"put {(t1 - t0) * 1e3:.1f}ms "
+                  f"dispatch {(t2 - t1) * 1e3:.1f}ms "
+                  f"async-copy {(_pc() - t2) * 1e3:.1f}ms", flush=True)
         return (out, mb)
 
     def _fill_group_py(self, group: Sequence[Window], pk8: np.ndarray,
@@ -410,7 +427,14 @@ class PallasEngine:
         import jax
         out_h, maxb = handles
         # ONE device_get: [dp_bail | tb_bail | slot tiles] per program
-        out = np.asarray(jax.device_get(out_h))
+        if self._timing_groups:
+            from time import perf_counter as _pc
+            t0 = _pc()
+            out = np.asarray(jax.device_get(out_h))
+            print(f"    [group n={len(group)}] get {(_pc() - t0) * 1e3:.1f}ms",
+                  flush=True)
+        else:
+            out = np.asarray(jax.device_get(out_h))
         G = out.shape[0]
         w8 = W * 8
         dp_bail = out[:, :w8].reshape(G, W, 8)[:, :, 0]

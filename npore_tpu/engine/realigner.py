@@ -244,6 +244,12 @@ class Realigner:
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         ex_a = ThreadPoolExecutor(1)
+        # ONE stage-B worker: widening this pool to 3 was measured WORSE
+        # on HW (2853 -> 1768 reads/s; finalize+emit 85 -> 640us/read) —
+        # on a 4-core host the extra threads thrash the GIL against the
+        # decode/submit threads; the tunneled device_get is the only part
+        # that truly parallelizes and it's already overlapped by
+        # submit-time copy_to_host_async
         ex_b = ThreadPoolExecutor(1)
         inflight: deque = deque()
         try:
