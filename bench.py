@@ -194,6 +194,7 @@ def main() -> None:
              if not (r.is_secondary or r.is_supplementary or r.is_unmapped)]
 
     rep = int(os.environ.get("NPORE_BENCH_REPLICAS", "256"))
+    bsz = int(os.environ.get("NPORE_BENCH_BATCH", "1024"))
     # the production streaming path, repeated: every replica pass re-reads
     # and re-decodes the BAM through the C++ reader (io/bam_native), so
     # per-read decode cost is honestly counted (and overlapped by the
@@ -216,7 +217,7 @@ def main() -> None:
     best = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
-        out = list(rl.realign_records(work_iter(), batch_size=1024))
+        out = list(rl.realign_records(work_iter(), batch_size=bsz))
         dt = time.perf_counter() - t0
         assert len(out) == n_work
         best = max(best, n_work / dt)

@@ -197,6 +197,11 @@ def main(argv=None) -> int:
         print(f"WARNING: {s}")
     if realigner.skipped:
         print(f"    {len(realigner.skipped)} reads skipped (malformed)")
+    rescued = getattr(getattr(realigner, "_pallas", None),
+                      "rescue_count", 0)
+    if rescued:
+        print(f"    {rescued} alignments rescued by the extended-coverage "
+              f"device tier")
     if realigner.bail_count:
         print(f"    {realigner.bail_count} alignments used the golden "
               f"fallback")

@@ -28,6 +28,8 @@ import os as _os
 # amortize per-group latency against HBM headroom (g_call_for scales
 # down for big r_pad buckets); env knob for HW sweeps.
 G_CALL = int(_os.environ.get("NPORE_G_CALL", "8"))
+W_EXT = 8       # windows/program in the extended-coverage rescue
+                # composite (its ~1100 rare planes fit VMEM at 8)
 _OPCH = np.frombuffer(b"=XID", dtype=np.uint8)
 
 
@@ -43,7 +45,7 @@ def _idx_layout(nblk: int, ntb: int):
 def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
                     indel_extend: float, inf: float, max_n: int, max_l: int,
                     interpret: bool, cont_cols, kmaxn, mesh=None,
-                    sub_scores=None):
+                    sub_scores=None, w_win: int = W):
     """One jitted prepass+DP+TB chain: a single dispatch per group keeps
     the ~25ms-latency tunnel from being paid three times.
 
@@ -57,12 +59,12 @@ def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
 
     from .prepass import make_prepass
     import os
-    prepass = make_prepass(r_pad, G, W, max_n, max_l, cont_cols, kmaxn,
+    prepass = make_prepass(r_pad, G, w_win, max_n, max_l, cont_cols, kmaxn,
                            sub_scores=sub_scores)
     unroll = int(os.environ.get("NPORE_DP_UNROLL", "0"))
     dp = get_dp_call(r_pad, G, r, indel_start, indel_extend, inf, max_n,
-                     interpret, kmaxn, unroll)
-    tb = get_tb_call(r_pad, G, interpret)
+                     interpret, kmaxn, unroll, w_win)
+    tb = get_tb_call(r_pad, G, interpret, w_win)
     nblk = r_pad // BLK
     ntb = r_pad // TBLK
 
@@ -77,10 +79,10 @@ def _make_composite(r_pad: int, G: int, r: int, indel_start: float,
         pk_w = buf[:, :pkw]
         bts = [(pk_w >> (8 * k)) & 255 for k in range(4)]
         pk8 = jnp.stack(bts, axis=2).reshape(-1, r_pad)
-        idx32 = buf[:, pkw:].reshape(-1, W, buf.shape[1] - pkw)
+        idx32 = buf[:, pkw:].reshape(-1, w_win, buf.shape[1] - pkw)
         ref8 = pk8 & 7
         seq8 = (pk8 >> 3) & 7
-        sd8 = (pk8 >> 6).reshape(-1, W, r_pad)
+        sd8 = (pk8 >> 6).reshape(-1, w_win, r_pad)
         planes = {}
         o = 0
         for name, width in _idx_layout(nblk, ntb):
@@ -150,7 +152,8 @@ class PallasEngine:
                  cfg: AlignConfig = AlignConfig(), k_cont: int = 14,
                  interpret: Optional[bool] = None,
                  devices: Optional[list] = None, g_call: int = G_CALL,
-                 kmaxn: Optional[tuple] = None, mesh=None):
+                 kmaxn: Optional[tuple] = None, mesh=None,
+                 kext: Optional[tuple] = None):
         import jax
         self.cfg = cfg
         self.k_cont = k_cont
@@ -169,10 +172,25 @@ class PallasEngine:
         if kmaxn is None:
             kmaxn = KMAXN_INTERPRET if self.interpret else KMAXN
         self.kmaxn = tuple(kmaxn)
+        # extended-coverage rescue tier: gap-overflow-bailed windows are
+        # re-run through a SECOND composite whose k-ladder reaches full
+        # saturation (k=100 >= every non-SAT continuation: ins saturates
+        # at k >= 99-l, del is invalid past k > l <= 100), so it cannot
+        # gap-bail — the device analog of the C++ golden fallback, built
+        # lazily the first time a group bails (realistic data never
+        # compiles it; repeat-saturated contigs measured 30% fallback at
+        # ~60ms/alignment serial C++ before this). Interpret mode keeps
+        # it OFF unless a kext is passed (a 100-deep interpret ladder
+        # would dominate suite time).
+        if kext is None and not self.interpret:
+            kext = (cfg.max_l,) * cfg.max_n
+        self.kext = tuple(kext) if kext else None
+        self._cont_cols_ext = None      # built on first rescue
         self.cont_cols = tuple(tuple(t for t in row)
                                for row in build_cont_cols(
                                    np_scores, cfg.max_n, cfg.max_l,
                                    self.kmaxn))
+        self.rescue_count = 0           # windows saved by the ext tier
         self._composites = {}
         sub_pad = np.zeros((1, 32), np.float32)
         sub_pad[0, :25] = self.sub_scores.reshape(-1)
@@ -193,22 +211,24 @@ class PallasEngine:
         # Interpret mode keeps one: its kernels execute as GIL-bound host
         # work, where a second thread only adds contention.
         self._pool = ThreadPoolExecutor(
-            max_workers=1 if self.interpret else 2,
+            max_workers=1 if self.interpret else int(
+                os.environ.get("NPORE_SUBMITTERS", "2")),
             thread_name_prefix="npore-submit")
         self._compile_lock = threading.Lock()
         self._state_lock = threading.Lock()   # guards _rr / _sub_on
         self._warm = set()      # (shape, device) whose first run completed
 
     # ------------------------------------------------------------------
-    def g_call_for(self, r_pad: int) -> int:
+    def g_call_for(self, r_pad: int, ext: bool = False) -> int:
         """Programs per device call, scaled down for big-row buckets: the
         prepass score tiles are ~1.6 GB per 8-program group at r_pad=1536
         and grow linearly with r_pad, so whole-contig buckets (r_pad up to
         ~20k, standardize path: reference src/bam.pyx:93-123) must shrink
-        the group to stay inside HBM (v5e: 16 GB)."""
-        if r_pad <= 1536:
-            return self.g_call
-        return max(1, (self.g_call * 1536) // r_pad)
+        the group to stay inside HBM (v5e: 16 GB). Extended-coverage
+        rescue groups carry ~3x the score planes, so they halve again."""
+        gc = self.g_call if r_pad <= 1536 else max(
+            1, (self.g_call * 1536) // r_pad)
+        return max(1, gc // 2) if ext else gc
 
     def align_batch(self, items) -> List[str]:
         """items: sequence with .ref/.seq int arrays and .cigar (expanded).
@@ -264,6 +284,37 @@ class PallasEngine:
                     bailed_alns.add(w.key[0])
                 chunk_cigars[w.key] = cig
 
+        # extended-coverage rescue: re-run bailed windows through the
+        # full-saturation composite (cannot gap-bail by construction);
+        # only windows that STILL bail (e.g. traceback errors) fall
+        # through to the exact C++ golden path below
+        if bailed_alns and self.kext:
+            by_r: Dict[int, List[Window]] = {}
+            for group, _ in pending:
+                for w in group:
+                    if w.key[0] in bailed_alns:
+                        by_r.setdefault(
+                            _r_pad_for(w.b_rows + 1, cfg.max_b_rows),
+                            []).append(w)
+            pend2 = []
+            for r_pad, wins in sorted(by_r.items()):
+                wins.sort(key=lambda w: w.b_rows)
+                bw = self.n_shards * self.g_call_for(r_pad, ext=True) * W_EXT
+                for lo in range(0, len(wins), bw):
+                    grp = wins[lo:lo + bw]
+                    pend2.append((grp, self._pool.submit(
+                        self._submit_group, grp, r_pad, True)))
+            rescued = set(bailed_alns)
+            for grp, fut in pend2:
+                out = self._collect_group(grp, fut.result())
+                for w, (cig, bail) in zip(grp, out):
+                    if bail:
+                        rescued.discard(w.key[0])
+                    else:
+                        chunk_cigars[w.key] = cig
+            self.rescue_count += len(rescued)
+            bailed_alns -= rescued
+
         # golden fallback for bailed alignments (rare: k overflow etc.);
         # prefers the native C++ port (bit-exact, ~14x the python spec)
         for i in sorted(bailed_alns):
@@ -295,7 +346,8 @@ class PallasEngine:
         return out
 
     # ------------------------------------------------------------------
-    def _submit_group(self, group: Sequence[Window], r_pad: int):
+    def _submit_group(self, group: Sequence[Window], r_pad: int,
+                      ext: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -316,9 +368,10 @@ class PallasEngine:
         cfg = self.cfg
         max_n = cfg.max_n
         r = cfg.r
-        gc = self.g_call_for(r_pad)
+        gc = self.g_call_for(r_pad, ext)
+        wv = W_EXT if ext else W
         G = self.n_shards * gc              # global programs per dispatch
-        B = G * W
+        B = G * wv
         nblk = r_pad // BLK
         ntb = r_pad // TBLK
 
@@ -328,26 +381,33 @@ class PallasEngine:
         layout = _idx_layout(nblk, ntb)
         ni = sum(w_ for _, w_ in layout)
         pk8 = np.zeros((B, r_pad), np.uint8)
-        idx32 = np.zeros((G, W, ni), np.int32)
+        idx32 = np.zeros((G, wv, ni), np.int32)
         max_rows = fill_group_native(group, r_pad, r, BLK, TBLK, nblk, ntb,
                                      pk8, idx32.reshape(B, -1))
         if max_rows is None:            # no compiler: numpy fallback
-            max_rows = self._fill_group_py(group, pk8, idx32, r_pad)
+            max_rows = self._fill_group_py(group, pk8, idx32, r_pad, wv)
         mb = ((max_rows + MAXB_Q - 1) // MAXB_Q) * MAXB_Q - 1
         mb = min(mb, r_pad - 1)
         idx32[:, :, -1] = mb            # group-wide maxb plane
         buf = np.concatenate(
             [pk8.view(np.int32), idx32.reshape(B, ni)], axis=1)
 
-        key = r_pad
+        key = (r_pad, ext)
         if key not in self._composites:
             with self._compile_lock:    # compile each shape exactly once
                 if key not in self._composites:
+                    if ext and self._cont_cols_ext is None:
+                        self._cont_cols_ext = tuple(
+                            tuple(t for t in row) for row in build_cont_cols(
+                                self.np_scores, max_n, cfg.max_l, self.kext))
                     self._composites[key] = _make_composite(
                         r_pad, gc, r, cfg.indel_start,
                         cfg.indel_extend, cfg.inf, max_n, cfg.max_l,
-                        self.interpret, self.cont_cols, self.kmaxn,
-                        mesh=self.mesh, sub_scores=self.sub_scores)
+                        self.interpret,
+                        self._cont_cols_ext if ext else self.cont_cols,
+                        self.kext if ext else self.kmaxn,
+                        mesh=self.mesh, sub_scores=self.sub_scores,
+                        w_win=wv)
         run = self._composites[key]
         from time import perf_counter as _pc
         t0 = _pc()
@@ -378,10 +438,10 @@ class PallasEngine:
                   f"put {(t1 - t0) * 1e3:.1f}ms "
                   f"dispatch {(t2 - t1) * 1e3:.1f}ms "
                   f"async-copy {(_pc() - t2) * 1e3:.1f}ms", flush=True)
-        return (out, mb)
+        return (out, mb, wv)
 
     def _fill_group_py(self, group: Sequence[Window], pk8: np.ndarray,
-                       idx32: np.ndarray, r_pad: int) -> int:
+                       idx32: np.ndarray, r_pad: int, wv: int = W) -> int:
         """numpy fallback of native.fill_group (and its equality oracle —
         tests/test_groupfill.py pins the two bit-identical)."""
         r = self.cfg.r
@@ -402,7 +462,7 @@ class PallasEngine:
 
         max_rows = 1
         for j, w in enumerate(group):
-            g, wl = divmod(j, W)
+            g, wl = divmod(j, wv)
             max_rows = max(max_rows, w.b_rows)
             pk8[j, :len(w.ref)] = np.asarray(w.ref).astype(np.uint8) & 7
             pk8[j, :len(w.seq)] |= (np.asarray(w.seq).astype(np.uint8)
@@ -425,7 +485,7 @@ class PallasEngine:
 
     def _collect_group(self, group: Sequence[Window], handles):
         import jax
-        out_h, maxb = handles
+        out_h, maxb, wv = handles
         # ONE device_get: [dp_bail | tb_bail | slot tiles] per program
         if self._timing_groups:
             from time import perf_counter as _pc
@@ -436,10 +496,10 @@ class PallasEngine:
         else:
             out = np.asarray(jax.device_get(out_h))
         G = out.shape[0]
-        w8 = W * 8
-        dp_bail = out[:, :w8].reshape(G, W, 8)[:, :, 0]
-        tb_bail = out[:, w8:2 * w8].reshape(G, W, 8)[:, :, 0]
-        slots = out[:, 2 * w8:].reshape(G, -1, W, LANES)
+        w8 = wv * 8
+        dp_bail = out[:, :w8].reshape(G, wv, 8)[:, :, 0]
+        tb_bail = out[:, w8:2 * w8].reshape(G, wv, 8)[:, :, 0]
+        slots = out[:, 2 * w8:].reshape(G, -1, wv, LANES)
 
         # decode all windows of the group in one vectorized pass: slots
         # are 4-bit packed (row t at tile t//1024, nibble (t//128)%8,
@@ -454,22 +514,22 @@ class PallasEngine:
         for g in range(G):
             nib = (slots[g][:, None, :, :] >> shifts) & 15
             vec = np.ascontiguousarray(
-                nib.transpose(2, 0, 1, 3)).reshape(W, -1)[:, :maxb + 1]
+                nib.transpose(2, 0, 1, 3)).reshape(wv, -1)[:, :maxb + 1]
             mask = vec != 0
             flat = vec[mask]
             counts = flat >> 2
             chars = np.repeat(_OPCH[flat & 3], counts)
-            wid = np.repeat(np.arange(W), mask.sum(axis=1))
+            wid = np.repeat(np.arange(wv), mask.sum(axis=1))
             per_w = np.bincount(wid, weights=counts,
-                                minlength=W).astype(np.int64)
-            bounds = np.zeros(W + 1, np.int64)
+                                minlength=wv).astype(np.int64)
+            bounds = np.zeros(wv + 1, np.int64)
             np.cumsum(per_w, out=bounds[1:])
             cb = chars.tobytes()
             cigs.extend(cb[bounds[k]:bounds[k + 1]].decode("ascii")
-                        for k in range(W))
+                        for k in range(wv))
         out = []
         for j, w in enumerate(group):
-            g, wl = divmod(j, W)
+            g, wl = divmod(j, wv)
             bail = bool(dp_bail[g, wl] or tb_bail[g, wl])
-            out.append((cigs[g * W + wl], bail))
+            out.append((cigs[g * wv + wl], bail))
         return out

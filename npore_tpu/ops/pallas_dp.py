@@ -23,9 +23,11 @@ ops/band_dp.py (golden-parity tested). Reformulations:
   values for k in [1, k_cont+1]) are DMA'd per 48-row block from linear
   HBM tables and aligned to the lane binding with one dynamic roll per
   window per block; continuation scores are selected by k with unrolled
-  lane-wise selects. Runs needing k > k_cont+1 set a per-window bail flag
-  and the host redoes those alignments with the golden engine (band
-  geometry bounds k by floor((2r+1)/n)+2; real data rarely exceeds 4).
+  lane-wise selects. Runs needing k beyond the covered ladder set a
+  per-window bail flag; the engine first re-runs bailed windows through
+  an extended-coverage composite (full-saturation k-ladder at
+  8 windows/program — engine/pallas_engine.py rescue pass), and only
+  still-bailed alignments fall back to the exact C++ golden engine.
 * Traceback is a backward lockstep sweep over the packed (typ | run<<3)
   MAT planes, emitting (op | count<<2) slots into 128-row lane tiles; the
   host decodes slots ascending-row = forward CIGAR. Only ~4B/row/window
@@ -47,7 +49,8 @@ UNROLL = 1        # default DP rows per loop body (must divide BLK);
                   # rotations into SSA renames inside the unrolled body)
 TBLK = 64         # traceback rows per block (2 blocks per 128-row tile)
 PAD0 = 48         # leading pad columns of linear tables
-W = 32            # windows per grid program
+DEFAULT_W = 32    # windows per grid program
+W = DEFAULT_W
 RQ = 384          # R_pad quantum
 MAXB_Q = 192      # runtime row-count quantum: lcm(BLK, TBLK), so the
                   # dynamic block loops in both kernels divide evenly
@@ -142,10 +145,15 @@ def build_cont_lanes(np_scores: np.ndarray, max_n: int = 6, max_l: int = 100,
 @functools.lru_cache(maxsize=None)
 def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                 indel_extend: float, inf: float, max_n: int,
-                interpret: bool, kmaxn=KMAXN, unroll: int = 0):
+                interpret: bool, kmaxn=KMAXN, unroll: int = 0,
+                w_win: int = 0):
     """Build the jittable DP pallas_call for (R_pad, G)-shaped batches.
     ``unroll=0`` means the module default; callers resolve any env
-    override BEFORE calling (this function is lru_cached on its args)."""
+    override BEFORE calling (this function is lru_cached on its args).
+    ``w_win`` overrides windows-per-program (default DEFAULT_W=32); the
+    extended-coverage rescue composite uses 8 so its ~1100 rare score
+    planes fit the 16MB scoped-VMEM limit."""
+    W = w_win or DEFAULT_W
     if unroll == 0:
         unroll = UNROLL
     if unroll < 1 or BLK % unroll != 0:     # not assert: env-driven value,
@@ -765,8 +773,9 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
 
 
 @functools.lru_cache(maxsize=None)
-def get_tb_call(R_pad: int, G: int, interpret: bool):
+def get_tb_call(R_pad: int, G: int, interpret: bool, w_win: int = 0):
     """Backward traceback over the packed MAT planes -> (op|count<<2) slots."""
+    W = w_win or DEFAULT_W
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl

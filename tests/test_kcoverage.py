@@ -147,3 +147,24 @@ def test_unroll6_bit_exact(score_matrices, monkeypatch):
     seq = "CG" + "A" * 12 + "TTGCA"
     cases.append((ref, seq, "==" + "=" * 12 + "DDDD====="))
     _parity(eng, score_matrices, cases)
+
+
+def test_ext_rescue_tier(score_matrices):
+    """Gap-overflow-bailed windows are re-run through the extended-
+    coverage composite instead of the serial C++ golden fallback (the
+    device analog of the fallback; 30% of a repeat-saturated genome
+    contig bailed before this). A KSHORT-deep common ladder bails on
+    deep-k cases; with kext covering them, the rescue pass must recover
+    every window bit-exactly with ZERO golden fallbacks."""
+    sub_scores, np_scores, _, _ = score_matrices
+    from npore_tpu.ops.pallas_dp import KSHORT
+    eng = PallasEngine(sub_scores, np_scores, AlignConfig(),
+                       interpret=True, kmaxn=(KSHORT,) * 6, kext=KMID)
+    cases = []
+    for reps, d in [(12, 2), (16, 4), (19, 6)]:   # k_c <= 20 = KMID[0]
+        ref = "CG" + "A" * reps + "TTGCA"
+        seq = "CG" + "A" * (reps - d) + "TTGCA"
+        cases.append((ref, seq, "==" + "=" * (reps - d) + "D" * d + "====="))
+    _parity(eng, score_matrices, cases)
+    assert eng.rescue_count > 0, "rescue tier must have engaged"
+    assert eng.bail_count == 0, "no case should reach the golden fallback"
