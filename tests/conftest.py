@@ -19,6 +19,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent XLA compile cache: the interpret-mode composites dominate
+# suite time and recompile identically on every pytest process otherwise
+# (engines constructed directly never call Realigner's cache setup)
+jax.config.update("jax_compilation_cache_dir", os.environ.get(
+    "NPORE_JAX_CACHE", os.path.expanduser("~/.cache/npore_jax")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
