@@ -355,6 +355,18 @@ class PallasEngine:
             dev = None
             put = lambda a: np.asarray(a)   # jit/shard_map places shards
             sub_dev = self._sub
+        elif len(self.devices) == 1:
+            # single chip: hand the numpy buffer straight to the jitted
+            # composite — the transfer rides the execute dispatch instead
+            # of a separate device_put RPC (each tunneled RPC costs ~25ms
+            # latency; NPORE_TIMING_GROUPS measured put 45-65ms/group)
+            dev = self.devices[0]
+            with self._state_lock:
+                sub_dev = self._sub_on.get(dev)
+                if sub_dev is None:
+                    sub_dev = jax.device_put(self._sub, dev)
+                    self._sub_on[dev] = sub_dev
+            put = lambda a: a
         else:
             with self._state_lock:          # submitter threads share _rr
                 dev = self.devices[self._rr % len(self.devices)]
@@ -391,6 +403,7 @@ class PallasEngine:
         idx32[:, :, -1] = mb            # group-wide maxb plane
         buf = np.concatenate(
             [pk8.view(np.int32), idx32.reshape(B, ni)], axis=1)
+        self._dbg_last_buf = buf    # scripts/bench_dp_kernel re-packing
 
         key = (r_pad, ext)
         if key not in self._composites:

@@ -55,7 +55,7 @@ def main() -> int:
     handles = eng._submit_group(group, r_pad)
     jax.block_until_ready(handles[:1])
 
-    run = eng._composites[r_pad]
+    run = eng._composites[(r_pad, False)]
     # rebuild the packed host arrays once more, keep them on device
     import npore_tpu.engine.pallas_engine as pe
     buf, pk8, idx32 = _pack_like_submit(eng, group, r_pad)
@@ -235,34 +235,18 @@ def _split_stages(eng, pk8_d, idx32_d, sub_d, r_pad, reps):
 
 
 def _pack_like_submit(eng, group, r_pad):
-    """Re-pack the group exactly as _submit_group does, host-side only."""
-    import npore_tpu.engine.pallas_engine as pe
-    import jax
-
-    captured = {}
-    orig_put = jax.device_put
-
-    def fake_put(a, dev=None):
-        arr = np.asarray(a)
-        captured.setdefault("arrays", []).append(arr)
-        return orig_put(arr, dev)
-
-    # simplest faithful route: call _submit_group again but snapshot its
-    # two packed host arrays via the device_put hook
-    jax.device_put = fake_put
-    try:
-        eng._submit_group(group, r_pad)
-    finally:
-        jax.device_put = orig_put
-    arrays = [a for a in captured["arrays"]]
-    buf = next(a for a in arrays if a.dtype == np.int32 and a.ndim == 2
-               and a.shape[1] > 64)
-    pkw = r_pad // 4
-    pk8 = np.ascontiguousarray(buf[:, :pkw]).view(np.uint8).reshape(
-        buf.shape[0], r_pad)
+    """Re-pack the group exactly as _submit_group does, host-side only
+    (the engine stashes its last packed buffer for this tool)."""
+    import numpy as np
     from npore_tpu.engine.pallas_engine import W as W_
     from npore_tpu.engine.pallas_engine import _idx_layout
     from npore_tpu.ops.pallas_dp import BLK as BLK_, TBLK as TBLK_
+
+    eng._submit_group(group, r_pad)
+    buf = np.asarray(eng._dbg_last_buf)
+    pkw = r_pad // 4
+    pk8 = np.ascontiguousarray(buf[:, :pkw]).view(np.uint8).reshape(
+        buf.shape[0], r_pad)
     ni = sum(w for _, w in _idx_layout(r_pad // BLK_, r_pad // TBLK_))
     idx32 = np.ascontiguousarray(buf[:, pkw:]).reshape(-1, W_, ni)
     return buf, pk8, idx32
