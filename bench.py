@@ -215,7 +215,10 @@ def main() -> None:
     list(rl.realign_records(iter(reads * 4), batch_size=256))
 
     best = 0.0
-    for _ in range(3):
+    # shared-pool throughput swings +-30% between minutes (measured
+    # 2614 vs 3596 back-to-back on identical code); more best-of passes
+    # make the captured artifact robust to a bad moment
+    for _ in range(int(os.environ.get("NPORE_BENCH_PASSES", "4"))):
         t0 = time.perf_counter()
         out = list(rl.realign_records(work_iter(), batch_size=bsz))
         dt = time.perf_counter() - t0

@@ -227,6 +227,11 @@ class Realigner:
             return meta, collect
 
         def stage_b(fut_a):
+            # collect + finalize + SAM assembly all on ONE worker thread:
+            # moving finalize to the main thread was measured WORSE on HW
+            # (3566 -> 2674 reads/s; collect-wait 86 -> 289us/read — the
+            # main-thread finalize contends on the GIL with this thread's
+            # slot decode), as was a 2-3 worker stage-B pool
             meta, collect = fut_a.result()
             c_acc = [0.0]
 
@@ -244,13 +249,12 @@ class Realigner:
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         ex_a = ThreadPoolExecutor(1)
-        # ONE stage-B worker: widening this pool to 3 was measured WORSE
-        # on HW (2853 -> 1768 reads/s; finalize+emit 85 -> 640us/read) —
-        # on a 4-core host the extra threads thrash the GIL against the
-        # decode/submit threads; the tunneled device_get is the only part
-        # that truly parallelizes and it's already overlapped by
-        # submit-time copy_to_host_async
-        ex_b = ThreadPoolExecutor(1)
+        # stage-B workers: 1 by default — widening to 3 was measured WORSE
+        # pre-fused-put on HW (2853 -> 1768 reads/s; GIL thrash on the
+        # 4-core host); NPORE_STAGEB re-tests now that the submit path is
+        # nearly free
+        nb = int(os.environ.get("NPORE_STAGEB", "1"))
+        ex_b = ThreadPoolExecutor(nb)
         inflight: deque = deque()
         try:
             while True:
@@ -334,7 +338,9 @@ class Realigner:
         return items, meta
 
     def _emit_batch(self, meta, collect) -> Iterable[SamRecord]:
-        new_cigars = collect()
+        return self._finalize_records(meta, collect())
+
+    def _finalize_records(self, meta, new_cigars) -> Iterable[SamRecord]:
         for (read, int_ref, int_seq), new_cig in zip(meta, new_cigars):
             norm = finalize_cigar(new_cig, int_ref, int_seq)
             hap = int(read.get_tag("HP")) if read.has_tag("HP") else 0

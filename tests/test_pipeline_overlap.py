@@ -38,8 +38,10 @@ class FakeDevice:
 
 
 class SlowEmitRealigner(Realigner):
-    def _emit_batch(self, meta, collect):
-        cigs = collect()
+    # _finalize_records is the host finalize/SAM-assembly hook the
+    # pipeline drives (on the MAIN thread since round 4, overlapping
+    # stage B's collect of the next batch)
+    def _finalize_records(self, meta, cigs):
         time.sleep(HOST_S)      # simulated finalize/SAM-assembly cost
         for (read, *_), c in zip(meta, cigs):
             yield read
