@@ -341,8 +341,18 @@ class Realigner:
         return self._finalize_records(meta, collect())
 
     def _finalize_records(self, meta, new_cigars) -> Iterable[SamRecord]:
-        for (read, int_ref, int_seq), new_cig in zip(meta, new_cigars):
-            norm = finalize_cigar(new_cig, int_ref, int_seq)
+        # batched C++ finalization: one FFI call for the whole batch
+        # (the per-read ctypes glue cost 30-50us/read of GIL-bound
+        # Python on this hot path); falls back per-read without a
+        # compiler or on odd dtypes/errors
+        from ..native import finalize_cigar_batch
+        new_cigars = list(new_cigars)
+        finals = finalize_cigar_batch(
+            new_cigars, [m_[1] for m_ in meta], [m_[2] for m_ in meta])
+        if finals is None:
+            finals = [finalize_cigar(c, m_[1], m_[2])
+                      for c, m_ in zip(new_cigars, meta)]
+        for (read, int_ref, int_seq), norm in zip(meta, finals):
             hap = int(read.get_tag("HP")) if read.has_tag("HP") else 0
             # output line fields per reference (src/bam.pyx:83);
             # tlen = reference_end - pos = the aligned reference span,

@@ -67,6 +67,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_int8),
                     ctypes.POINTER(ctypes.c_uint8)]
                 lib.finalize_cigar.restype = ctypes.c_int64
+                lib.finalize_cigar_batch.argtypes = [
+                    ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_uint64),
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_uint64),
+                    ctypes.POINTER(ctypes.c_uint64),
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64)]
+                lib.finalize_cigar_batch.restype = ctypes.c_int64
                 lib.golden_align.argtypes = [
                     ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
                     ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
@@ -145,6 +154,53 @@ def finalize_cigar_native(extended: str, int_ref: np.ndarray,
     if n < 0:
         raise ValueError(f"invalid CIGAR op in {extended[:40]!r}...")
     return out[:n].tobytes().decode("ascii")
+
+
+def finalize_cigar_batch(cigars, refs, seqs):
+    """Batched CIGAR finalization: ONE FFI call for a whole batch.
+
+    cigars: sequence of extended-cigar str; refs/seqs: matching int8
+    numpy arrays. Returns the list of compact cigar strings, or None
+    without a compiler / on non-int8 inputs (caller falls back to the
+    per-read path). Per-read invalid-op errors also fall back so the
+    exact ValueError surfaces from the per-read path.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    m = len(cigars)
+    if m == 0:
+        return []
+    # uint8 is accepted as-is: base codes are 0..7, so the int8
+    # reinterpretation the C side does is value-preserving (the native
+    # BAM decoder emits uint8)
+    for a in refs:
+        if a.dtype.itemsize != 1 or not a.flags.c_contiguous:
+            return None
+    for a in seqs:
+        if a.dtype.itemsize != 1 or not a.flags.c_contiguous:
+            return None
+    enc = [c.encode("ascii") for c in cigars]     # keep refs alive
+    ext_ptrs = np.fromiter(
+        (ctypes.cast(ctypes.c_char_p(b), ctypes.c_void_p).value or 0
+         for b in enc), np.uint64, m)
+    ext_lens = np.fromiter((len(b) for b in enc), np.int64, m)
+    ref_ptrs = np.fromiter((a.ctypes.data for a in refs), np.uint64, m)
+    seq_ptrs = np.fromiter((a.ctypes.data for a in seqs), np.uint64, m)
+    cap = int(12 * ext_lens.sum() + 16 * m + 16)
+    out = np.empty(cap, np.uint8)
+    offs = np.empty(m + 1, np.int64)
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    n = lib.finalize_cigar_batch(
+        m, ext_ptrs.ctypes.data_as(u64p), ext_lens.ctypes.data_as(i64p),
+        ref_ptrs.ctypes.data_as(u64p), seq_ptrs.ctypes.data_as(u64p),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        offs.ctypes.data_as(i64p))
+    if n < 0:
+        return None
+    blob = out[:n].tobytes()
+    return [blob[offs[i]:offs[i + 1]].decode("ascii") for i in range(m)]
 
 
 def fill_group_native(group, r_pad: int, r: int, blk: int, tblk: int,

@@ -189,4 +189,35 @@ int64_t finalize_cigar(const uint8_t* ext, int64_t n, const int8_t* ref,
     return o;
 }
 
+// Batched finalization: m reads in ONE FFI call. The per-read ctypes
+// glue (frombuffer/ascontiguousarray/arg marshalling) costs 30-50us of
+// GIL-bound Python per read on the realigner's hot emit path; here the
+// host passes pointer/length arrays once and slices results out of one
+// buffer. Compact cigars are written back-to-back into `out` with
+// per-read offsets in `out_offs` (m+1 entries). Returns total bytes,
+// or -(i+1) when read i has an invalid op char (the caller re-runs that
+// read through the per-read path for the exact error), or
+// -1000000 - i when `out` would overflow at read i.
+int64_t finalize_cigar_batch(int64_t m, const uint64_t* ext_ptrs,
+                             const int64_t* ext_lens,
+                             const uint64_t* ref_ptrs,
+                             const uint64_t* seq_ptrs,
+                             uint8_t* out, int64_t out_cap,
+                             int64_t* out_offs) {
+    int64_t off = 0;
+    for (int64_t i = 0; i < m; i++) {
+        int64_t worst = 12 * (ext_lens[i] > 0 ? ext_lens[i] : 1) + 16;
+        if (off + worst > out_cap) return -1000000 - i;
+        int64_t n = finalize_cigar(
+            reinterpret_cast<const uint8_t*>(ext_ptrs[i]), ext_lens[i],
+            reinterpret_cast<const int8_t*>(ref_ptrs[i]),
+            reinterpret_cast<const int8_t*>(seq_ptrs[i]), out + off);
+        if (n < 0) return -(i + 1);
+        out_offs[i] = off;
+        off += n;
+    }
+    out_offs[m] = off;
+    return off;
+}
+
 }  // extern "C"

@@ -187,3 +187,40 @@ def test_pileup_deletion_bases_with_ref():
     assert cols[3].endswith("-2TG")
     cols_nof = dict(pileup_columns(bam, "c", 0, 10))
     assert cols_nof[3].endswith("-2NN")
+
+
+def test_finalize_cigar_batch_equals_per_read():
+    """One-FFI-call batched finalization (native.finalize_cigar_batch,
+    the realigner's hot emit path) must equal the per-read path on
+    normalization-heavy cases, and fall back cleanly on errors."""
+    import numpy as np
+    import pytest
+    from npore_tpu.constants import bases_to_int
+    from npore_tpu.io.cigar import finalize_cigar
+    from npore_tpu.native import finalize_cigar_batch, get_lib
+    if get_lib() is None:
+        pytest.skip("no compiler")
+    rng = np.random.default_rng(3)
+    cigars, refs, seqs = [], [], []
+    for i in range(40):
+        n = int(rng.integers(1, 120))
+        ref = bases_to_int("".join(rng.choice(list("ACGT"), n)))
+        nI = int(rng.integers(0, 6))
+        nD = int(rng.integers(0, min(6, n)))
+        seq = bases_to_int("".join(rng.choice(list("ACGT"),
+                                              n + nI - nD)))
+        ops = ["M"] * (n - nD) + ["I"] * nI + ["D"] * nD
+        rng.shuffle(ops)
+        cigars.append("".join(ops))
+        refs.append(np.ascontiguousarray(ref, np.int8))
+        seqs.append(np.ascontiguousarray(seq, np.int8))
+    cigars.append("")        # empty-cigar edge
+    refs.append(np.zeros(0, np.int8))
+    seqs.append(np.zeros(0, np.int8))
+    got = finalize_cigar_batch(cigars, refs, seqs)
+    want = [finalize_cigar(c, r, s)
+            for c, r, s in zip(cigars, refs, seqs)]
+    assert got == want
+    # invalid op char -> batch declines (None); per-read path raises
+    bad = finalize_cigar_batch(["MZD"], [refs[0]], [seqs[0]])
+    assert bad is None
