@@ -28,7 +28,13 @@ def path_inss(cigar: str) -> np.ndarray:
     from the expanded CIGAR without materializing the 'DI'-doubled string
     (reference: src/aln.pyx:279-292 after the :386 M->DI rewrite). Each
     'M'/'X'/'=' contributes a D step then an I step; 'I'/'D' one step.
-    Identical to golden.align.get_inss(cigar.replace(M-like, "DI"))."""
+    Identical to golden.align.get_inss(cigar.replace(M-like, "DI")).
+    Prefers the one-pass C++ kernel (stage-A hot path; the numpy form
+    below is its fallback and equality oracle)."""
+    from ..native import path_inss_native
+    fast = path_inss_native(cigar)
+    if fast is not None:
+        return fast
     raw = np.frombuffer(cigar.encode("ascii"), dtype=np.uint8)
     m = _IS_M[raw]
     sizes = m.astype(np.int64) + 1

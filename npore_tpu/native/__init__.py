@@ -76,6 +76,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
                     ctypes.POINTER(ctypes.c_int64)]
                 lib.finalize_cigar_batch.restype = ctypes.c_int64
+                lib.path_inss.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64)]
+                lib.path_inss.restype = ctypes.c_int64
                 lib.golden_align.argtypes = [
                     ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
                     ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
@@ -154,6 +158,24 @@ def finalize_cigar_native(extended: str, int_ref: np.ndarray,
     if n < 0:
         raise ValueError(f"invalid CIGAR op in {extended[:40]!r}...")
     return out[:n].tobytes().decode("ascii")
+
+
+def path_inss_native(cigar: str) -> Optional[np.ndarray]:
+    """One-pass prefix-I counts for the expanded cigar (the stage-A
+    window-building hot path); None without a compiler, ValueError on an
+    invalid op. Bit-identical to engine.windows.path_inss's numpy form
+    (pinned by tests/test_io.py)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    raw = np.frombuffer(cigar.encode("ascii"), dtype=np.uint8)
+    out = np.empty(2 * len(raw) + 2, np.int64)
+    n = lib.path_inss(
+        raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(raw),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if n < 0:
+        raise ValueError(f"invalid CIGAR op in {cigar[:40]!r}...")
+    return out[:n]
 
 
 def finalize_cigar_batch(cigars, refs, seqs):

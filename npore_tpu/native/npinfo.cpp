@@ -189,6 +189,28 @@ int64_t finalize_cigar(const uint8_t* ext, int64_t n, const int8_t* ref,
     return o;
 }
 
+// Prefix-I counts along the reparameterized path (reference:
+// src/aln.pyx:279-292 after the :386 M->DI rewrite): each M/X/=
+// contributes a D step then an I step, I/D one step. Writes the
+// (n_steps+1)-long prefix array (out[0] = 0) and returns its length,
+// or -1 on an invalid op char. `out` must hold >= 2n+2 entries.
+int64_t path_inss(const uint8_t* cig, int64_t n, int64_t* out) {
+    int64_t k = 0, acc = 0;
+    out[k++] = 0;
+    for (int64_t i = 0; i < n; i++) {
+        switch (cig[i]) {
+            case 'M': case 'X': case '=':
+                out[k++] = acc;
+                out[k++] = ++acc;
+                break;
+            case 'I': out[k++] = ++acc; break;
+            case 'D': out[k++] = acc; break;
+            default: return -1;
+        }
+    }
+    return k;
+}
+
 // Batched finalization: m reads in ONE FFI call. The per-read ctypes
 // glue (frombuffer/ascontiguousarray/arg marshalling) costs 30-50us of
 // GIL-bound Python per read on the realigner's hot emit path; here the

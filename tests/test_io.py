@@ -224,3 +224,34 @@ def test_finalize_cigar_batch_equals_per_read():
     # invalid op char -> batch declines (None); per-read path raises
     bad = finalize_cigar_batch(["MZD"], [refs[0]], [seqs[0]])
     assert bad is None
+
+
+def test_path_inss_native_equals_numpy():
+    """C++ one-pass path_inss == the numpy formulation on random expanded
+    cigars (stage-A hot path; the numpy form is the fallback oracle)."""
+    import numpy as np
+    import pytest
+    from npore_tpu.native import get_lib, path_inss_native
+    if get_lib() is None:
+        pytest.skip("no compiler")
+    import npore_tpu.engine.windows as wmod
+    rng = np.random.default_rng(9)
+    for _ in range(25):
+        n = int(rng.integers(0, 300))
+        cig = "".join(rng.choice(list("MID=X"), n))
+        raw = np.frombuffer(cig.encode("ascii"), dtype=np.uint8)
+        m = wmod._IS_M[raw]
+        sizes = m.astype(np.int64) + 1
+        ends = np.cumsum(sizes)
+        n2 = int(ends[-1]) if len(ends) else 0
+        starts = ends - sizes
+        is_i = np.zeros(n2, dtype=bool)
+        is_i[starts[m] + 1] = True
+        is_i[starts[raw == ord("I")]] = True
+        want = np.zeros(n2 + 1, dtype=np.int64)
+        np.cumsum(is_i, out=want[1:])
+        got = path_inss_native(cig)
+        assert np.array_equal(got, want), cig[:30]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        path_inss_native("MZD")
