@@ -18,6 +18,8 @@ this onto the device keeps per-group H2D under ~1MB across the
 """
 from __future__ import annotations
 
+import os as _os
+
 import numpy as np
 
 from ..ops.pallas_dp import BLK, KMAXN, KSHORT, LANES
@@ -50,6 +52,35 @@ def ct_layouts(max_n: int, kmaxn=KMAXN, kshort: int = 8):
             offr[side][ni] = qr
             qr += kmaxn[ni] - kc
     return offc, qc, offr, qr, tuple(kcs)
+
+
+def _split3_bf16(tab: np.ndarray):
+    """Exact 3-way bf16 mantissa split of an f32 table.
+
+    Returns bf16 ``(p1, p2, p3)`` with ``p1 + p2 + p3 == tab`` bit-exact
+    under f32 addition in ANY order: the parts occupy disjoint <=8-bit
+    mantissa segments, so every partial sum spans <=24 mantissa bits and
+    is exactly representable in the MXU's f32 accumulator. Stacking the
+    parts along the contraction axis therefore lets ONE default-precision
+    bf16 MXU dot (K = 3*101) reconstruct the f32 one-hot lookup exactly —
+    half the MXU work of HIGHEST's 6-pass f32 emulation, with no extra
+    materialized outputs. Returns None when any entry fails the
+    round-trip (non-finite / subnormal edges); the caller then keeps the
+    f32 HIGHEST-precision dot for that table."""
+    import ml_dtypes
+    x = np.ascontiguousarray(tab, np.float32)
+    if not np.isfinite(x).all():
+        return None
+    p1 = x.astype(ml_dtypes.bfloat16)
+    r1 = x - p1.astype(np.float32)
+    p2 = r1.astype(ml_dtypes.bfloat16)
+    r2 = r1 - p2.astype(np.float32)
+    p3 = r2.astype(ml_dtypes.bfloat16)
+    f = np.float32
+    if ((p3.astype(f) == r2).all()
+            and ((p1.astype(f) + p2.astype(f)) + p3.astype(f) == x).all()):
+        return p1, p2, p3
+    return None
 
 
 def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
@@ -154,7 +185,9 @@ def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
         # selects table rows bit-exactly — ~10x the throughput of an XLA
         # gather on this backend. Both sides of a period share one matmul
         # (ct_layout is pair-major).
-        iota_l = jnp.arange(cont_cols[0][0].shape[0], dtype=jnp.int32)
+        LV = cont_cols[0][0].shape[0]                      # 101 l values
+        iota_l = jnp.arange(LV, dtype=jnp.int32)
+        bf16_on = _os.environ.get("NPORE_PREPASS_BF16", "1") != "0"
         parts_c, parts_r = [], []
         for ni in range(max_n):
             T0 = np.asarray(cont_cols[0][ni])              # (101, K+2)
@@ -166,11 +199,32 @@ def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
                 [T0[:, :kc], T0[:, K:K + 2],
                  T1[:, :kc], T1[:, K:K + 2]], axis=1)
             tabr = np.concatenate([T0[:, kc:K], T1[:, kc:K]], axis=1)
-            ohT = (linr_lin[:, 1 + ni, None, :] == iota_l[None, :, None]
-                   ).astype(jnp.float32)                   # (B, 101, P2)
+            ohT = ohT3 = None
             for tab, parts in ((tabc, parts_c), (tabr, parts_r)):
                 if tab.shape[1] == 0:
                     continue
+                sp = _split3_bf16(tab) if bf16_on else None
+                if sp is not None:
+                    # exact bf16 reconstruction: the 3 mantissa parts ride
+                    # the contraction axis (K = 3*LV) of one default-
+                    # precision dot — see _split3_bf16's exactness note
+                    if ohT3 is None:
+                        iota3 = jnp.asarray(np.tile(
+                            np.arange(LV, dtype=np.int32), 3))
+                        ohT3 = (linr_lin[:, 1 + ni, None, :]
+                                == iota3[None, :, None]
+                                ).astype(jnp.bfloat16)     # (B, 3LV, P2)
+                    tab3 = np.concatenate(sp, axis=0)      # (3LV, cols)
+                    tabb = jnp.broadcast_to(jnp.asarray(tab3).T[None],
+                                            (B, tab.shape[1], 3 * LV))
+                    parts.append(jax.lax.dot_general(
+                        tabb, ohT3, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32))
+                    continue
+                if ohT is None:
+                    ohT = (linr_lin[:, 1 + ni, None, :]
+                           == iota_l[None, :, None]
+                           ).astype(jnp.float32)           # (B, LV, P2)
                 tabb = jnp.broadcast_to(jnp.asarray(tab).T[None],
                                         (B, tab.shape[1], tab.shape[0]))
                 parts.append(jax.lax.dot_general(
