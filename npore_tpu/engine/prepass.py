@@ -58,15 +58,20 @@ def _split3_bf16(tab: np.ndarray):
     """Exact 3-way bf16 mantissa split of an f32 table.
 
     Returns bf16 ``(p1, p2, p3)`` with ``p1 + p2 + p3 == tab`` bit-exact
-    under f32 addition in ANY order: the parts occupy disjoint <=8-bit
-    mantissa segments, so every partial sum spans <=24 mantissa bits and
-    is exactly representable in the MXU's f32 accumulator. Stacking the
-    parts along the contraction axis therefore lets ONE default-precision
-    bf16 MXU dot (K = 3*101) reconstruct the f32 one-hot lookup exactly —
-    half the MXU work of HIGHEST's 6-pass f32 emulation, with no extra
-    materialized outputs. Returns None when any entry fails the
-    round-trip (non-finite / subnormal edges); the caller then keeps the
-    f32 HIGHEST-precision dot for that table."""
+    under f32 addition for every CONTIGUOUS-subset sum: the parts occupy
+    disjoint descending <=8-bit mantissa segments, so {p1,p2}, {p2,p3}
+    and the full sum (either association) are exactly representable in
+    an f32 accumulator. That is sufficient because the caller stacks the
+    parts in ascending K order on the contraction axis, and matmul
+    K-accumulation (MXU systolic stream, blocked gemms, contiguous
+    reduction trees) only ever combines contiguous K ranges — a
+    {p1,p3}-without-p2 pairing (the one inexact combination: exponent
+    promotion can exceed the 24-bit span) never occurs. One default-
+    precision bf16 dot (K = 3*101) thus reconstructs the f32 one-hot
+    lookup exactly — half the MXU work of HIGHEST's 6-pass f32
+    emulation, with no extra materialized outputs. Returns None when any
+    entry fails the round-trip (non-finite / subnormal edges); the
+    caller then keeps the f32 HIGHEST-precision dot for that table."""
     import ml_dtypes
     x = np.ascontiguousarray(tab, np.float32)
     if not np.isfinite(x).all():
@@ -187,7 +192,13 @@ def make_prepass(r_pad: int, G: int, W: int, max_n: int, max_l: int,
         # (ct_layout is pair-major).
         LV = cont_cols[0][0].shape[0]                      # 101 l values
         iota_l = jnp.arange(LV, dtype=jnp.int32)
-        bf16_on = _os.environ.get("NPORE_PREPASS_BF16", "1") != "0"
+        # default OFF — measured SLOWER on axon v5e despite halving MXU
+        # passes: composite 33.0 vs 27.3 ms/group min-of-20 (the 3x bf16
+        # one-hot materialization + (16,128)-tile relayouts outweigh the
+        # matmul savings). Kept as an opt-in: it IS bit-exact (golden SAM
+        # 10/10 on HW, full hermetic chain) and may win on backends where
+        # the one-hot fuses into the dot operand.
+        bf16_on = _os.environ.get("NPORE_PREPASS_BF16", "0") != "0"
         parts_c, parts_r = [], []
         for ni in range(max_n):
             T0 = np.asarray(cont_cols[0][ni])              # (101, K+2)
