@@ -214,16 +214,19 @@ def main() -> None:
     # warmup: compile + one full pass
     list(rl.realign_records(iter(reads * 4), batch_size=256))
 
-    best = 0.0
     # shared-pool throughput swings +-30% between minutes (measured
     # 2614 vs 3596 back-to-back on identical code); more best-of passes
-    # make the captured artifact robust to a bad moment
+    # make the captured artifact robust to a bad moment, and the
+    # per-pass list lets cross-round deltas be separated from pool
+    # variance (VERDICT r4 #7)
+    passes = []
     for _ in range(int(os.environ.get("NPORE_BENCH_PASSES", "4"))):
         t0 = time.perf_counter()
         out = list(rl.realign_records(work_iter(), batch_size=bsz))
         dt = time.perf_counter() - t0
         assert len(out) == n_work
-        best = max(best, n_work / dt)
+        passes.append(round(n_work / dt, 2))
+    best = max(passes)
 
     from npore_tpu.config import AlignConfig
     cfg = AlignConfig()
@@ -233,6 +236,8 @@ def main() -> None:
         "value": round(best, 2),
         "unit": "reads/s",
         "vs_baseline": round(best / base, 2),
+        "passes": passes,
+        "median": round(float(np.median(passes)), 2),
     }
     # mixed-bucket detail is ON by default so the driver artifact records
     # the bucket-ladder / mixed-length grouping behavior (VERDICT r3 #3);

@@ -78,19 +78,33 @@ def get_vcf_regions(args, ref: FastaFile, vcf: VcfReader):
     return regions
 
 
-def realign_haps(hap_data, realigner: Realigner):
+def realign_haps(hap_data, realigner: Realigner, timing: bool = False):
     """Batched replacement of the reference's per-hap worker
     (reference: src/bam.pyx:93-123): align -> left-normalize to fixpoint
-    -> 'ID' -> 'M'."""
+    -> 'ID' -> 'M'. With ``timing`` (NPORE_TIMING=1), prints the
+    window-build/submit vs device-wait vs normalize split."""
     items = []
     for contig, hap, seq, ref, cigar in hap_data:
         items.append(AlignItem(bases_to_int(ref), bases_to_int(seq), cigar))
-    new_cigars = realigner.align_batch(items)
+    t0 = perf_counter()
+    eng = getattr(realigner, "_pallas", None)
+    if hasattr(eng, "align_batch_async"):
+        collect = eng.align_batch_async(items)   # window build + submit
+        t1 = perf_counter()
+        new_cigars = collect()                   # device wait + decode
+    else:
+        t1 = perf_counter()
+        new_cigars = realigner.align_batch(items)
+    t2 = perf_counter()
     out = []
     for (contig, hap, seq, ref, _), it, cig in zip(hap_data, items,
                                                    new_cigars):
         norm = normalize_cigar(cig, it.ref, it.seq)
         out.append((contig, hap, seq, ref, norm))
+    if timing:
+        print(f"    [timing] window-build+submit {t1 - t0:.2f}s  "
+              f"device-wait+decode {t2 - t1:.2f}s  "
+              f"normalize {perf_counter() - t2:.2f}s", flush=True)
     return out
 
 
@@ -110,31 +124,46 @@ def main(argv=None) -> int:
     sub_scores, np_scores, _, _ = calc_score_matrices(
         subs, nps, inss, dels, cfg.max_n, cfg.max_l)
 
+    # NPORE_TIMING=1 prints the per-stage wall-clock split (VERDICT r4
+    # #4: the genome-scale standardize run was slow and unattributed)
+    timing = os.environ.get("NPORE_TIMING") == "1"
+    marks = [("start", perf_counter())]
+
     print("> splitting vcf")
     vcf1, vcf2 = split_vcf(args.vcf, regions, args.out_prefix + "pre")
+    marks.append(("split_vcf", perf_counter()))
 
     print("> converting vcfs and ref to sequences")
     get_ref = lambda ctg: ref_fa.fetch(ctg).upper()
     hap1_data = apply_vcf(vcf1, 1, regions, get_ref, args.min_qual)
     hap2_data = apply_vcf(vcf2, 2, regions, get_ref, args.min_qual)
+    marks.append(("apply_vcf", perf_counter()))
 
     print("> realigning hap sequences")
     start = perf_counter()
     realigner = Realigner(sub_scores, np_scores, cfg, engine=args.engine)
-    data = realign_haps(hap1_data + hap2_data, realigner)
+    marks.append(("engine_init", perf_counter()))
+    data = realign_haps(hap1_data + hap2_data, realigner, timing=timing)
     hap1_data = [x for x in data if x[1] == 1]
     hap2_data = [x for x in data if x[1] == 2]
     print(f"    {len(data)} sequences realigned; "
           f"runtime: {perf_counter()-start:.2f}s")
+    marks.append(("realign", perf_counter()))
 
     print("> generating standardized vcfs")
     vcf1 = gen_vcf(hap1_data, 1, args.out_prefix)
     vcf2 = gen_vcf(hap2_data, 2, args.out_prefix)
+    marks.append(("gen_vcf", perf_counter()))
 
     print("> merging vcfs")
     out_fn = f"{args.out_prefix}.vcf.gz"
     merge_vcfs(vcf1, vcf2, out_fn, regions)
     print(f"    wrote {out_fn} (+ .tbi)")
+    marks.append(("merge", perf_counter()))
+    if timing:
+        split = "  ".join(f"{name} {t1 - t0:.2f}s" for (_, t0), (name, t1)
+                          in zip(marks, marks[1:]))
+        print(f"    [timing] {split}", flush=True)
     return 0
 
 

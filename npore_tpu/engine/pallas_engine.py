@@ -163,6 +163,14 @@ class PallasEngine:
         if interpret and g_call == G_CALL:
             g_call = 1          # interpret mode: small groups keep tests fast
         self.g_call = g_call
+        # interpret mode runs the main composite at the extended tier's
+        # production width (W=8): per-program trace/compile cost in the
+        # discharge interpreter scales ~linearly with W, and the kernels
+        # are W-generic (HW fuzz + golden SAM cover W=32; the hermetic
+        # chain covers W=8 on both tiers). NPORE_INTERPRET_W=32 restores
+        # full-width hermetic runs.
+        self.w_main = (int(_os.environ.get("NPORE_INTERPRET_W", "8"))
+                       if interpret else W)
         self.mesh = mesh        # 1-D "data" mesh: shard_map'd dispatch
         self.n_shards = mesh.size if mesh is not None else 1
         self.devices = devices if devices is not None else jax.local_devices()
@@ -264,7 +272,7 @@ class PallasEngine:
         pending = []
         for r_pad, wins in sorted(by_r.items()):
             wins.sort(key=lambda w: w.b_rows)
-            bw = self.n_shards * self.g_call_for(r_pad) * W
+            bw = self.n_shards * self.g_call_for(r_pad) * self.w_main
             for lo in range(0, len(wins), bw):
                 group = wins[lo:lo + bw]
                 pending.append(
@@ -381,7 +389,7 @@ class PallasEngine:
         max_n = cfg.max_n
         r = cfg.r
         gc = self.g_call_for(r_pad, ext)
-        wv = W_EXT if ext else W
+        wv = W_EXT if ext else self.w_main
         G = self.n_shards * gc              # global programs per dispatch
         B = G * wv
         nblk = r_pad // BLK

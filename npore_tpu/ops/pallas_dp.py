@@ -13,7 +13,7 @@ ops/band_dp.py (golden-parity tested). Reformulations:
   static lane roll: INS (arow-1,acol) same lane @t-1; DEL (arow,acol-1)
   roll 1 @t-1; MAT diag roll 1 @t-2; LEN (arow-n,acol) same lane @t-n;
   SHR (arow,acol-n) roll n @t-n. History planes ride the fori_loop carry.
-* W=32 windows per grid program stacked on sublanes; rows advance in a
+* W (=DEFAULT_W) windows per grid program stacked on sublanes; rows advance in a
   fori_loop with a ~30-plane carry (the reference's LEN/SHR anchor
   coordinates are carried as value+run only — the coordinate validity
   checks of src/aln.pyx:622-633 reduce to run>0 plus an acol==n test for
@@ -49,7 +49,10 @@ UNROLL = 1        # default DP rows per loop body (must divide BLK);
                   # rotations into SSA renames inside the unrolled body)
 TBLK = 64         # traceback rows per block (2 blocks per 128-row tile)
 PAD0 = 48         # leading pad columns of linear tables
-DEFAULT_W = 32    # windows per grid program
+DEFAULT_W = 32    # windows per grid program (W=24 measured 145.6 vs
+                  # 120.5 us/window at r_pad=1536: per-program block cost
+                  # is op-issue bound, so fewer windows/program wastes
+                  # lane capacity — keep 32 and pay VMEM elsewhere)
 W = DEFAULT_W
 RQ = 384          # R_pad quantum
 MAXB_Q = 192      # runtime row-count quantum: lcm(BLK, TBLK), so the
@@ -58,9 +61,14 @@ MAXB_Q = 192      # runtime row-count quantum: lcm(BLK, TBLK), so the
 OP_EQ, OP_X, OP_I, OP_D = 0, 1, 2, 3
 
 # per-n continuation coverage: k = run//n + 1 is bounded by band residence
-# (run <= 2r+1 + n + slack), so full-k planes make in-band continuations
-# bail-free; SAT/LB cover the unbounded first-row pseudo-run tail.
-KMAXN = (70, 37, 25, 20, 17, 15)
+# (run <= 2r+1 + n + slack; the r4 full bound was (70,37,25,20,17,15)),
+# but k beyond the ladder is still exact: the LB plane prunes can't-win
+# gap candidates, and the rare can-win remainder gap-bails into the
+# on-device EXTENDED rescue composite (full-saturation ladder). Round 5
+# trimmed the ladder to fit the prefetch ring + rare planes + Mosaic's
+# ~5MB kernel stack inside the 16MB scoped-VMEM limit at W=32; fuzz and
+# the fixture measure bails=0 at this depth (PERF.md round-5).
+KMAXN = (48, 27, 19, 15, 13, 11)
 KSHORT = 8        # common-path ladder depth of the two-tier k-select
 
 
@@ -150,7 +158,7 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
     """Build the jittable DP pallas_call for (R_pad, G)-shaped batches.
     ``unroll=0`` means the module default; callers resolve any env
     override BEFORE calling (this function is lru_cached on its args).
-    ``w_win`` overrides windows-per-program (default DEFAULT_W=32); the
+    ``w_win`` overrides windows-per-program (default DEFAULT_W); the
     extended-coverage rescue composite uses 8 so its ~1100 rare score
     planes fit the 16MB scoped-VMEM limit."""
     W = w_win or DEFAULT_W
@@ -189,19 +197,18 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
         s = s % LANES
         return v if s == 0 else pltpu.roll(v, shift=s, axis=1)
 
-    # the score-plane 2-tile staging buffer is chunked to stay inside
-    # the 16MB scoped-VMEM limit; the SAME staging serves both the
-    # per-block common loads and the rare on-demand loads
-    NCH = 1
-    while ((QT + NCH - 1) // NCH) * W * 2 * LANES * 4 > (3 << 20):
-        NCH += 1
-    CH = (QT + NCH - 1) // NCH
+    # rare-plane staging stays chunked (it loads on demand mid-block);
+    # the common planes ride the parity rings below instead. 256KB cap:
+    # the full-size ct ring + Mosaic's ~3.5MB kernel stack leave <1MB of
+    # the 16MB scoped-VMEM limit (a 1MB cap overflowed by 44KB on HW)
+    CHR = max(1, min(max(QR, 1), (1 << 18) // (W * 2 * LANES * 4)))
+    NRCH = (QR + CHR - 1) // CHR
 
     def dp_kernel(p0c, p0r, s0c, s0r, maxb_s, sub_s,
                   scal_v, steps, linr, cts, ctr, lins,
                   bail_o, packed_o,
-                  lin2_b, ct2_b, seq2_b, lin_b, ct_b, rare_b, seq_b,
-                  steps2_b, packed_b, zbuf, rflag, sems):
+                  linri, ctri, seqri, lin_b, ct_b, rare_b, seq_b,
+                  stri, rare2_b, packed_b, zbuf, rflag, sems):
         g = pl.program_id(0)
         lane = jax.lax.broadcasted_iota(I32, (W, LANES), 1)
         b_rows = scal_v[:, 0:1]
@@ -213,67 +220,90 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
 
         lane1 = jax.lax.broadcasted_iota(I32, (1, LANES), 1)
 
-        def load_block(b):
-            # Aligned 2-tile DMAs + lane select: the 128-wide window at
-            # arbitrary offset p0 in "lane = index mod 128" binding is
-            # P[j] = tiles[0][j] if j >= p0%128 else tiles[1][j].
-            # Scratch layouts are plane-major (planes, W, 128) so every
-            # per-row read is a contiguous (W, 128) tile; the DMA engine
-            # absorbs the strided per-window writes here, off the VPU.
+        # --- parity-ring block staging with cross-block prefetch --------
+        # Each ring position j holds the 128-lane tile with index == j
+        # (mod 2); a block's lane selects need tiles {t, t+1} resident.
+        # Ref-bound offsets (p0c, steps' sc) are non-decreasing and seq
+        # offsets (s0c) non-increasing, each by at most one tile per
+        # block (BLK=48 < 128), so ONE single-tile DMA per window per
+        # kind — issued during the PREVIOUS block and riding under its
+        # row compute — maintains residency. This replaces the round-4
+        # synchronous 2-tile staging DMAs (the ~36us serialized stall of
+        # an ~83us block at r_pad=1536 — PERF.md round-4): block b+1's
+        # tiles now land while block b's rows run. The re-copy is issued
+        # unconditionally (same data when the tile index didn't advance)
+        # so the semaphore counts stay uniform; waits reconstruct a
+        # same-shaped descriptor, which Mosaic and interpret both treat
+        # as a pure (semaphore, size) wait.
+        def _start(src_sl, dst_sl, sem, tix):
+            # two static-position branches: a dynamic parity slice on the
+            # dst measured +0.75MB of Mosaic stack vs this form (scoped-
+            # VMEM OOM on HW); exactly one branch fires, so semaphore
+            # counts stay uniform
+            @pl.when(tix % 2 == 0)
+            def _():
+                pltpu.make_async_copy(src_sl(tix), dst_sl(0), sem).start()
+
+            @pl.when(tix % 2 == 1)
+            def _():
+                pltpu.make_async_copy(src_sl(tix), dst_sl(1), sem).start()
+
+        def _wait(src_sl, dst_sl, sem):
+            pltpu.make_async_copy(src_sl(0), dst_sl(0), sem).wait()
+
+        def _kinds(w):
+            # (src-tile slicer, ring-slot slicer, semaphore) per ring.
             # The ref-side table is FUSED (lin planes + bitcast f32 score
-            # planes, engine/prepass.py): one per-window DMA serves both,
-            # replacing the old per-block score-tile DMA from a prepass-
-            # side block expansion + relayout transpose (r4 ppcum: those
-            # stages were 8.5 ms of the 28 ms in-composite prepass).
-            dmas = []
+            # planes share p0c/p0r — engine/prepass.py), so one offset
+            # stream drives both the lin and the ct ring.
+            return (
+                (lambda tix: linr.at[g * W + w, :, pl.ds(tix, 1), :],
+                 lambda pos: linri.at[:, w, pl.ds(pos, 1), :], sems.at[0]),
+                (lambda tix: lins.at[g * W + w, :, pl.ds(tix, 1), :],
+                 lambda pos: seqri.at[:, w, pl.ds(pos, 1), :], sems.at[1]),
+                (lambda tix: cts.at[g * W + w, :, pl.ds(tix, 1), :],
+                 lambda pos: ctri.at[:, w, pl.ds(pos, 1), :], sems.at[4]),
+            )
+
+        _steps_kind = (
+            lambda tix: steps.at[g, :, pl.ds(tix, 1), :],
+            lambda pos: stri.at[:, pl.ds(pos, 1), :], sems.at[2])
+
+        def pref_start(b):
+            # the potentially-new tile for block b: hi tile for the
+            # non-decreasing ref-side streams, lo tile for the
+            # non-increasing seq stream
             for w in range(W):
-                d1 = pltpu.make_async_copy(
-                    linr.at[g * W + w, :, pl.ds(p0c[w, b], 2), :],
-                    lin2_b.at[:, w], sems.at[0])
-                d2 = pltpu.make_async_copy(
-                    lins.at[g * W + w, :, pl.ds(s0c[w, b], 2), :],
-                    seq2_b.at[:, w], sems.at[1])
-                d1.start()
-                d2.start()
-                dmas.append((d1, d2))
-            # steps are position-linear: rows [T0, T0+128) live in tiles
-            # (sc, sc+1) at dynamic lane offset off = T0 % 128; aligned
-            # 2-tile DMA + select + ONE dynamic roll per block replaces
-            # the prepass-side 2.67x overlapping-slice expansion
-            sc = (b * BLK) // LANES
-            off = (b * BLK) % LANES
-            d3 = pltpu.make_async_copy(
-                steps.at[g, :, pl.ds(sc, 2), :], steps2_b, sems.at[2])
-            d3.start()
-            for d1, d2 in dmas:
-                d1.wait()
-                d2.wait()
-            d3.wait()
+                tixs = (p0c[w, b] + 1, s0c[w, b], p0c[w, b] + 1)
+                for (src_sl, dst_sl, sem), tix in zip(_kinds(w), tixs):
+                    _start(src_sl, dst_sl, sem, tix)
+            src_sl, dst_sl, sem = _steps_kind
+            _start(src_sl, dst_sl, sem, (b * BLK) // LANES + 1)
+
+        def pref_wait():
             for w in range(W):
-                lin_b[:, w, :] = jnp.where(
-                    lane1 >= p0r[w, b],
-                    lin2_b[:, w, 0, :], lin2_b[:, w, 1, :])
-                seq_b[:, w, :] = jnp.where(
-                    lane1 >= s0r[w, b],
-                    seq2_b[:, w, 0, :], seq2_b[:, w, 1, :])
-            for c in range(NCH):
-                lo = c * CH
-                n_pl = min(QT, lo + CH) - lo
-                d4s = []
-                for w in range(W):
-                    d4 = pltpu.make_async_copy(
-                        cts.at[g * W + w, pl.ds(lo, n_pl),
-                               pl.ds(p0c[w, b], 2), :],
-                        ct2_b.at[pl.ds(0, n_pl), w], sems.at[3])
-                    d4.start()
-                    d4s.append(d4)
-                for d4 in d4s:
-                    d4.wait()
-                for w in range(W):
-                    ct_b[pl.ds(lo, n_pl), w, :] = jnp.where(
-                        lane1 >= p0r[w, b],
-                        ct2_b[pl.ds(0, n_pl), w, 0, :],
-                        ct2_b[pl.ds(0, n_pl), w, 1, :])
+                for src_sl, dst_sl, sem in _kinds(w):
+                    _wait(src_sl, dst_sl, sem)
+            src_sl, dst_sl, sem = _steps_kind
+            _wait(src_sl, dst_sl, sem)
+
+        def align_block(b):
+            # parity-XOR lane selects into the plane-major working
+            # buffers: the 128-wide window at offset p0 in "lane = index
+            # mod 128" binding is P[j] = tile_t[j] if j >= p0%128 else
+            # tile_{t+1}[j]; with tile t at ring pos t%2 that becomes
+            # where((j >= p0%128) ^ (t odd), pos0, pos1)
+            for w in range(W):
+                codd = (p0c[w, b] % 2) == 1
+                cnd = (lane1 >= p0r[w, b]) ^ codd
+                lin_b[:, w, :] = jnp.where(cnd, linri[:, w, 0, :],
+                                           linri[:, w, 1, :])
+                ct_b[:, w, :] = jnp.where(cnd, ctri[:, w, 0, :],
+                                          ctri[:, w, 1, :])
+                sodd = (s0c[w, b] % 2) == 1
+                cnds = (lane1 >= s0r[w, b]) ^ sodd
+                seq_b[:, w, :] = jnp.where(cnds, seqri[:, w, 0, :],
+                                           seqri[:, w, 1, :])
             # seq planes: re-bind from (-a mod 128) to (T0 - a mod 128)
             seq_b[:] = pltpu.roll(seq_b[:], shift=(b * BLK) % LANES, axis=2)
 
@@ -294,22 +324,20 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
         def CLB(side, ni):
             return ct_b[OFFC[side][ni] + KCS[ni] + 1]
 
-        NRCH = (QR + CH - 1) // CH
-
         def load_rare(b):
             # fetch the rare continuation planes for the CURRENT block
             # (cached per block via the SMEM flag at the call site); the
             # full-ladder tier is data-rare, so these 2-tile DMAs are
             # off the steady-state path entirely
             for c in range(NRCH):
-                lo = c * CH
-                n_pl = min(QR, lo + CH) - lo
+                lo = c * CHR
+                n_pl = min(QR, lo + CHR) - lo
                 ds_ = []
                 for w in range(W):
                     d = pltpu.make_async_copy(
                         ctr.at[g * W + w, pl.ds(lo, n_pl),
                                pl.ds(p0c[w, b], 2), :],
-                        ct2_b.at[pl.ds(0, n_pl), w], sems.at[3])
+                        rare2_b.at[pl.ds(0, n_pl), w], sems.at[3])
                     d.start()
                     ds_.append(d)
                 for d in ds_:
@@ -317,8 +345,8 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                 for w in range(W):
                     rare_b[pl.ds(lo, n_pl), w, :] = jnp.where(
                         lane1 >= p0r[w, b],
-                        ct2_b[pl.ds(0, n_pl), w, 0, :],
-                        ct2_b[pl.ds(0, n_pl), w, 1, :])
+                        rare2_b[pl.ds(0, n_pl), w, 0, :],
+                        rare2_b[pl.ds(0, n_pl), w, 1, :])
 
         def row_step(t, i, carry, n_hi=max_n):
             # LEN/SHR carry only (value, run, anchor-value): the anchor
@@ -636,15 +664,26 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
 
         def blk_body(b, carry):
             T0 = b * BLK
-            load_block(b)
-            rflag[0] = 0          # rare planes not loaded for this block
+            if "nopref" not in ablate:
+                pref_wait()       # this block's tiles (prefetched at b-1)
+            align_block(b)
             # rolling steps tile: lane i = row T0+i, assembled from the
-            # 2-tile linear DMA by select + one dynamic roll
+            # parity ring by XOR-select + one dynamic roll
             off = (b * BLK) % LANES
-            w0 = jnp.where(lane1 >= off,
-                           steps2_b[:, 0, :], steps2_b[:, 1, :])
+            stodd = (((b * BLK) // LANES) % 2) == 1
+            w0 = jnp.where((lane1 >= off) ^ stodd,
+                           stri[:, 0, :], stri[:, 1, :])
             carry = carry[:-1] + (
                 pltpu.roll(w0, shift=(LANES - off) % LANES, axis=1),)
+            # issue block b+1's tile DMAs: they ride under this block's
+            # rows (the selects above already consumed every ring slot
+            # the writes may touch; the clamp keeps the final iteration
+            # re-copying resident data instead of indexing past nblk).
+            # 'nopref' ablation: skip cross-block DMAs entirely (stale
+            # ring data -> WRONG results) to time the DMA machinery.
+            if "nopref" not in ablate:
+                pref_start(jnp.minimum(b + 1, nblk - 1))
+            rflag[0] = 0          # rare planes not loaded for this block
 
             # manual 6-row unroll (= lcm of every carried history period:
             # the 6-deep mv/lr/sav/... rotations and the 2-deep mt/mr):
@@ -716,8 +755,24 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                 tuple(zc0 for _ in range(max_n)),
                 zi0,          # bail: full-width lane accumulator
                 zi0)          # rolling steps tile (re-seeded per block)
+        # prologue: synchronously land block 0's base tiles (the ones
+        # pref_start(0) does NOT fetch), then issue block 0's prefetch in
+        # steady-state shape — the loop body's pref_wait always drains
+        # exactly one single-tile copy per window per kind
+        for w in range(W):
+            base = (p0c[w, 0], s0c[w, 0] + 1, p0c[w, 0])
+            for (src_sl, dst_sl, sem), tix in zip(_kinds(w), base):
+                _start(src_sl, dst_sl, sem, tix)
+        src_sl, dst_sl, sem = _steps_kind
+        _start(src_sl, dst_sl, sem, 0)
+        pref_wait()
+        if "nopref" not in ablate:
+            pref_start(0)
+
         nblk_eff = maxb // BLK + 1
         final = jax.lax.fori_loop(0, nblk_eff, blk_body, init)
+        if "nopref" not in ablate:
+            pref_wait()     # drain the final iteration's prefetch
         bail_o[:, :] = jnp.broadcast_to(
             jnp.max(final[13], axis=1, keepdims=True), (W, 8))
 
@@ -754,18 +809,19 @@ def get_dp_call(R_pad: int, G: int, r: int, indel_start: float,
                                                np.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((NL, W, 2, LANES), np.int32),     # lin2_b
-            pltpu.VMEM((CH, W, 2, LANES), np.float32),   # ct2_b (staging)
-            pltpu.VMEM((2, W, 2, LANES), np.int32),      # seq2_b (packed)
+            pltpu.VMEM((NL, W, 2, LANES), np.int32),     # linri (ring)
+            pltpu.VMEM((QT, W, 2, LANES), np.float32),   # ctri (ring)
+            pltpu.VMEM((2, W, 2, LANES), np.int32),      # seqri (ring)
             pltpu.VMEM((NL, W, LANES), np.int32),        # lin_b
             pltpu.VMEM((QT, W, LANES), np.float32),      # ct_b (common)
             pltpu.VMEM((QRT, W, LANES), np.float32),     # rare_b
             pltpu.VMEM((2, W, LANES), np.int32),         # seq_b
-            pltpu.VMEM((W, 2, LANES), np.int32),         # steps2_b
+            pltpu.VMEM((W, 2, LANES), np.int32),         # stri (ring)
+            pltpu.VMEM((CHR, W, 2, LANES), np.float32),  # rare2_b staging
             pltpu.VMEM((BLK, W, LANES), np.int32),       # packed_b
             pltpu.VMEM((W, LANES), np.int32),            # zbuf
             pltpu.SMEM((1,), np.int32),                  # rflag
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((5,)),
         ],
         interpret=interpret,
     )

@@ -113,7 +113,7 @@ def _pp_cum(eng, pk8_d, idx32_d, r_pad, reps):
     cfg = eng.cfg
     gc = eng.g_call_for(r_pad)
     G = eng.n_shards * gc
-    W = 32
+    from npore_tpu.ops.pallas_dp import DEFAULT_W as W
     nblk = r_pad // BLK
 
     idx32 = np.asarray(jax.device_get(idx32_d))
@@ -174,7 +174,7 @@ def _split_stages(eng, pk8_d, idx32_d, sub_d, r_pad, reps):
     G = eng.n_shards * gc
     nblk = r_pad // BLK
     ntb = r_pad // TBLK
-    W = 32
+    from npore_tpu.ops.pallas_dp import DEFAULT_W as W
     prepass = make_prepass(r_pad, G, W, cfg.max_n, cfg.max_l,
                            eng.cont_cols, eng.kmaxn,
                            sub_scores=eng.sub_scores)

@@ -1,6 +1,6 @@
 """Hermetic coverage of the production k-select ladder paths.
 
-The hardware engine runs KMAXN=(70,37,25,20,17,15); interpret-mode tests
+The hardware engine runs KMAXN=(48,27,19,15,13,11); interpret-mode tests
 default to a small ladder, which is exactly the config split that let the
 mixed-period k_c==1 bug ship in round 1. These tests force a mid-size
 ladder through the same two-tier lax.cond code path (KSHORT=8 < kmaxn) on
@@ -94,9 +94,9 @@ def _deep_k_cases():
     AND must resolve without bailing — for every period n=1..6."""
     cases = []
     tail = "GTCGA"
-    # n=1 SHR: delete 55 of 69 A's -> k_c up to 56 (KSHORT 8 < 56 <= 70)
-    cases.append(("CC" + "A" * 69 + tail, "CC" + "A" * 14 + tail,
-                  "==" + "=" * 14 + "D" * 55 + "====="))
+    # n=1 SHR: delete 38 of 45 A's -> k_c up to 39 (KSHORT 8 < 39 <= 48)
+    cases.append(("CC" + "A" * 45 + tail, "CC" + "A" * 7 + tail,
+                  "==" + "=" * 7 + "D" * 38 + "====="))
     # n=1 LEN: insert 25 A's into a 20-A run -> k_c up to 26 (<= 70)
     cases.append(("CC" + "A" * 20 + tail, "CC" + "A" * 45 + tail,
                   "==" + "=" * 20 + "I" * 25 + "====="))
@@ -112,7 +112,7 @@ def _deep_k_cases():
 
 
 def test_production_kmaxn_hermetic(score_matrices):
-    """Pins the exact shipping ladder KMAXN=(70,37,25,20,17,15) off-HW:
+    """Pins the exact shipping ladder KMAXN=(48,27,19,15,13,11) off-HW:
     deep-k continuations for every n resolve bail-free and golden-exact
     through the full-tier path (round 1's k_c==1 bug shipped through the
     interpret/production config split this closes)."""
