@@ -124,7 +124,11 @@ def run_mixed(rl, sub_scores, np_scores, cfg) -> dict:
     from npore_tpu.io.bam import open_alignment_file
     from npore_tpu.io.cigar import expand_cigar
     bam_path = _mixed_bam_path()
-    rep = int(os.environ.get("NPORE_BENCH_MIXED_REPLICAS", "16"))
+    # 48 replicas: at 16 the 1536/3072 buckets ran only ~2 groups — a
+    # latency measurement, not steady-state throughput (the pipeline
+    # overlaps put/dispatch/get across groups only once several are in
+    # flight). ~4-6 groups per bucket reflects the production regime.
+    rep = int(os.environ.get("NPORE_BENCH_MIXED_REPLICAS", "48"))
     bam = open_alignment_file(bam_path)
     by_bucket = {}
     for r in bam:

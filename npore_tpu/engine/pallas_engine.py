@@ -354,6 +354,83 @@ class PallasEngine:
         return out
 
     # ------------------------------------------------------------------
+    def _aot_fingerprint(self, r_pad: int, gc: int, wv: int, ext: bool):
+        """Cache key for a serialized composite executable: everything
+        that shapes the traced graph or the backend binary. Kernel /
+        prepass / engine SOURCE bytes are hashed so stale executables
+        can never survive a code change; score matrices are baked into
+        the trace as constants, so they are part of the key too."""
+        import hashlib
+        import jax
+        h = hashlib.sha256()
+        dev = self.devices[0]
+        parts = [
+            "v1", jax.__version__,
+            getattr(dev.client, "platform_version", "?"),
+            str((r_pad, gc, wv, ext, self.kmaxn, self.kext, self.cfg)),
+            _os.environ.get("NPORE_DP_UNROLL", "0"),
+            _os.environ.get("NPORE_PREPASS_BF16", "0"),
+        ]
+        for p in parts:
+            h.update(str(p).encode())
+        h.update(self.sub_scores.tobytes())
+        h.update(np.ascontiguousarray(self.np_scores).tobytes())
+        pkg = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        for src in ("ops/pallas_dp.py", "engine/prepass.py",
+                    "engine/pallas_engine.py", "ops/npinfo_device.py"):
+            with open(_os.path.join(pkg, src), "rb") as fh:
+                h.update(fh.read())
+        return h.hexdigest()[:32]
+
+    def _aot_or_jit(self, run, r_pad: int, gc: int, wv: int, ext: bool,
+                    B: int, ni: int):
+        """Executable-cache wrapper (VERDICT r4 #3: per-shape cold
+        compile is 1-3 min and in-process load ~15-20 s even with the
+        warm remote-compile cache — the reference pays zero, Cython AOT).
+        jax.experimental.serialize_executable round-trips the compiled
+        TPU executable through disk. MEASURED NEGATIVE on the axon
+        tunnel, hence opt-in (NPORE_AOT_CACHE=1): a fresh process loads
+        a tiny probe executable in ~1 s, but the real ~65 MB composite
+        trickles through the RPC tunnel in ~260 s — 3x SLOWER than the
+        87.8 s warm remote-compile-cache path (PERF.md round-5). On a
+        directly-attached TPU the ~1 s load stands, so the path ships
+        for real deployments. Single-chip, mesh-less engines only — a
+        serialized executable pins its device assignment. Any cache
+        failure falls back to the lazy jit path silently."""
+        if self.interpret or self.mesh is not None or len(self.devices) != 1:
+            return run
+        if _os.environ.get("NPORE_AOT_CACHE", "0") != "1":
+            return run
+        import pickle
+        try:
+            import jax
+            import jax.numpy as jnp
+            from jax.experimental import serialize_executable as se
+            cache_dir = _os.path.join(_os.path.expanduser(
+                _os.environ.get("NPORE_AOT_DIR", "~/.cache/npore_jax/aot")))
+            _os.makedirs(cache_dir, exist_ok=True)
+            path = _os.path.join(
+                cache_dir, self._aot_fingerprint(r_pad, gc, wv, ext) + ".pkl")
+            if _os.path.exists(path):
+                with open(path, "rb") as fh:
+                    payload, in_tree, out_tree = pickle.load(fh)
+                return se.deserialize_and_load(payload, in_tree, out_tree)
+            pkw = r_pad // 4
+            compiled = run.lower(
+                jax.ShapeDtypeStruct((B, pkw + ni), jnp.int32),
+                jax.ShapeDtypeStruct((1, 32), jnp.float32)).compile()
+            payload, in_tree, out_tree = se.serialize(compiled)
+            tmp = path + f".tmp{_os.getpid()}"
+            with open(tmp, "wb") as fh:
+                pickle.dump((payload, in_tree, out_tree), fh)
+            _os.replace(tmp, path)
+            return compiled
+        except Exception as e:       # cache is an optimization, never a wall
+            print(f"    [aot-cache] disabled for r_pad={r_pad}: "
+                  f"{type(e).__name__}: {e}", flush=True)
+            return run
+
+    # ------------------------------------------------------------------
     def _submit_group(self, group: Sequence[Window], r_pad: int,
                       ext: bool = False):
         import jax
@@ -421,7 +498,7 @@ class PallasEngine:
                         self._cont_cols_ext = tuple(
                             tuple(t for t in row) for row in build_cont_cols(
                                 self.np_scores, max_n, cfg.max_l, self.kext))
-                    self._composites[key] = _make_composite(
+                    run = _make_composite(
                         r_pad, gc, r, cfg.indel_start,
                         cfg.indel_extend, cfg.inf, max_n, cfg.max_l,
                         self.interpret,
@@ -429,6 +506,8 @@ class PallasEngine:
                         self.kext if ext else self.kmaxn,
                         mesh=self.mesh, sub_scores=self.sub_scores,
                         w_win=wv)
+                    self._composites[key] = self._aot_or_jit(
+                        run, r_pad, gc, wv, ext, B, ni)
         run = self._composites[key]
         from time import perf_counter as _pc
         t0 = _pc()
