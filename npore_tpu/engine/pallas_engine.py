@@ -234,8 +234,12 @@ class PallasEngine:
         ~20k, standardize path: reference src/bam.pyx:93-123) must shrink
         the group to stay inside HBM (v5e: 16 GB). Extended-coverage
         rescue groups carry ~3x the score planes, so they halve again."""
-        gc = self.g_call if r_pad <= 1536 else max(
-            1, (self.g_call * 1536) // r_pad)
+        # NPORE_G_CALL_THR=3072 was A/B'd at the 3072 bucket: 3161 vs
+        # 3215 reads/s — no win from 256-window groups there; keep the
+        # HBM-conservative 1536 threshold (knob stays for big-HBM boxes)
+        thr = int(_os.environ.get("NPORE_G_CALL_THR", "1536"))
+        gc = self.g_call if r_pad <= thr else max(
+            1, (self.g_call * thr) // r_pad)
         return max(1, gc // 2) if ext else gc
 
     def align_batch(self, items) -> List[str]:

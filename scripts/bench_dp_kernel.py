@@ -37,8 +37,10 @@ def main() -> int:
 
     reads = [r for r in BamReader(os.path.join(repo, "tests/data/reads.bam"))
              if not (r.is_secondary or r.is_supplementary or r.is_unmapped)]
+    r_pad = int(os.environ.get("NPORE_BDK_RPAD", "1536"))
+    gsz = eng.g_call_for(r_pad) * W
     items = []
-    while len(items) < eng.g_call * W:
+    while len(items) < gsz:
         for r in reads:
             cig = expand_cigar(r.cigar).replace("S", "").replace("H", "")
             items.append(AlignItem(
@@ -48,8 +50,7 @@ def main() -> int:
     for i, it in enumerate(items):
         windows.extend(build_windows(it.ref, it.seq, it.cigar, cfg,
                                      aln_idx=i))
-    group = windows[:eng.g_call * W]
-    r_pad = 1536
+    group = windows[:gsz]
     # one real submit to compile + pack; then re-run the composite on the
     # same device-resident inputs
     handles = eng._submit_group(group, r_pad)

@@ -46,3 +46,10 @@ def test_dockerfile_copy_sources_exist():
             srcs = l.split()[1:-1]
             for s in srcs:
                 assert os.path.exists(os.path.join(repo, s)), l
+    # opt-in real-tools stage (VERDICT r4 #8): multi-stage refs resolve
+    # and the stage installs the real pipeline binaries
+    assert any(l.startswith("FROM") and " AS base" in l for l in lines)
+    assert any(l.startswith("FROM base AS realtools") for l in lines)
+    rt = "\n".join(lines[lines.index("FROM base AS realtools"):])
+    for tool in ("samtools", "minimap2", "bcftools"):
+        assert tool in rt
