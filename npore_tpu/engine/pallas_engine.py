@@ -269,6 +269,22 @@ class PallasEngine:
             by_r.setdefault(_r_pad_for(w.b_rows + 1, cfg.max_b_rows),
                             []).append(w)
 
+        # merge tiny tail buckets upward: a bucket holding less than one
+        # program's worth of windows whose composite is not yet built
+        # would pay a whole per-shape compile/load (~35-70 s on this
+        # tunneled backend, NPORE_TIMING_GROUPS on the standardize path)
+        # for a single underfilled group. Padding those windows into an
+        # already-needed larger bucket is exact: r_pad only sizes the
+        # zero-padded tables, and the per-group maxb rules the DP/TB row
+        # count (they ride free slots of the larger bucket's groups).
+        for rp in sorted(by_r)[:-1]:
+            if (len(by_r[rp]) >= self.w_main
+                    or (rp, False) in self._composites):
+                continue
+            target = min((x for x in by_r if x > rp), default=None)
+            if target is not None:
+                by_r[target] = by_r.pop(rp) + by_r[target]
+
         # submit every group from a dedicated thread: the batch packing and
         # the tunneled dispatch (which can block while transfers/executions
         # drain, releasing the GIL) overlap the caller's host work — slot

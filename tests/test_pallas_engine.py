@@ -259,3 +259,32 @@ def test_pallas_mixed_period_chain(score_matrices):
                         sub_scores, np_scores, eng.cfg)
     assert eng.bail_count == 0
     assert got[0] == want
+
+
+def test_tiny_bucket_merges_upward(score_matrices):
+    """A tail bucket with less than one program's worth of windows must
+    ride free slots of an already-needed larger bucket instead of paying
+    a whole per-shape compile (the standardize path's leftover chunks
+    cost a ~35-70s shape load for 2 windows before this). Exactness:
+    r_pad only sizes the padded tables; maxb rules the rows."""
+    sub_scores, np_scores, _, _ = score_matrices
+    eng = PallasEngine(sub_scores, np_scores, AlignConfig(),
+                       interpret=True, g_call=1)
+    rng = np.random.default_rng(21)
+    items = []
+    # one short alignment (384 bucket) + enough long ones for a 768 group
+    ref = "".join("ACGT"[i] for i in rng.integers(0, 4, 120))
+    items.append(AlignItem(bases_to_int(ref), bases_to_int(ref),
+                           "=" * len(ref)))
+    for _ in range(3):
+        ref = "".join("ACGT"[i] for i in rng.integers(0, 4, 330))
+        seq = ref[:100] + ref[103:]
+        items.append(AlignItem(bases_to_int(ref), bases_to_int(seq),
+                               "=" * 100 + "DDD" + "=" * (len(ref) - 103)))
+    got = eng.align_batch(items)
+    assert sorted(eng._composites) == [(768, False)], (
+        "tiny 384 bucket should merge into the needed 768 bucket")
+    for it, g in zip(items, got):
+        want = golden_align(it.ref, it.seq, it.cigar, sub_scores,
+                            np_scores, eng.cfg)
+        assert g == want
